@@ -1,0 +1,45 @@
+"""pyamg_tpu — a TPU-native algebraic multigrid framework.
+
+A from-scratch rebuild of the capability surface of the reference AMG
+library (ben-s-southworth/pyamg; see SURVEY.md) designed TPU-first:
+
+- **setup phase** (hierarchy construction) runs as vectorized host passes
+  (NumPy/SciPy + the C++ amg_core extension for serial-semantics
+  algorithms), exactly reproducing the reference's numerics;
+- **solve phase** (cycling + Krylov) compiles to a single jitted XLA
+  program over a static level pytree — padded ELL/BSR operators, Pallas
+  SpMV kernels, lax.while_loop Krylov — via :mod:`pyamg_tpu.engine`;
+- **distribution** uses jax.sharding Mesh row partitions with halo
+  exchange collectives via :mod:`pyamg_tpu.parallel`.
+
+Public API mirrors the reference's top-level re-exports
+([R] pyamg/__init__.py, SURVEY.md §1).
+"""
+
+from . import gallery
+from .aggregation import smoothed_aggregation_solver
+from .multilevel import MultilevelSolver, coarse_grid_solver, multilevel_solver
+from .strength import (
+    classical_strength_of_connection,
+    symmetric_strength_of_connection,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "__version__",
+    "gallery",
+    "smoothed_aggregation_solver",
+    "MultilevelSolver",
+    "multilevel_solver",
+    "coarse_grid_solver",
+    "classical_strength_of_connection",
+    "symmetric_strength_of_connection",
+]
+
+
+def test():  # pragma: no cover
+    """Run the test suite (reference parity: pyamg.test())."""
+    import pytest
+
+    return pytest.main(["-q", "tests/"])

@@ -1,0 +1,303 @@
+"""Prolongation smoothers (setup phase, host side).
+
+TPU-native rebuild of [R] pyamg/aggregation/smooth.py (SURVEY.md §2.2):
+turn the tentative prolongator T into a smoothed P.  Jacobi/Richardson are
+SpGEMM polynomials; energy minimization is the sparsity-constrained Krylov
+scheme (amg_core incomplete_mat_mult_* masked SpGEMM analog implemented as
+scipy product + pattern mask, which is numerically identical).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..util.linalg import approximate_spectral_radius
+from ..util.utils import get_block_diag, get_diagonal, scale_rows, compute_BtBinv
+
+__all__ = [
+    "jacobi_prolongation_smoother",
+    "richardson_prolongation_smoother",
+    "energy_prolongation_smoother",
+    "satisfy_constraints",
+]
+
+
+def _dinv_scaled(S, weighting="diagonal", omega=4.0 / 3.0):
+    """Return (omega_eff, DinvS) for weighted-Jacobi smoothing of S."""
+    if weighting == "local":
+        # Local Jacobi weighting: diag = abs row sums; omega used directly.
+        d = np.asarray(np.abs(S).sum(axis=1)).ravel()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dinv = np.where(d != 0, 1.0 / d, 0.0)
+        DinvS = scale_rows(sp.csr_matrix(S), dinv)
+        return omega, sp.csr_matrix(DinvS)
+    if weighting == "block":
+        bs = S.blocksize[0] if sp.issparse(S) and S.format == "bsr" else 1
+        if bs == 1:
+            return _dinv_scaled(S, "diagonal", omega)
+        Dinv = get_block_diag(S, bs, inv_flag=True)   # (n/bs, bs, bs)
+        Dinv_mat = sp.block_diag(
+            [sp.csr_matrix(Dinv[i]) for i in range(Dinv.shape[0])], format="csr"
+        ) if Dinv.shape[0] < 20000 else _blockdiag_csr(Dinv)
+        DinvS = sp.csr_matrix(Dinv_mat @ sp.csr_matrix(S))
+        rho = approximate_spectral_radius(DinvS)
+        return omega / max(rho, 1e-300), DinvS
+    # 'diagonal'
+    dinv = get_diagonal(S, inv=True)
+    DinvS = scale_rows(sp.csr_matrix(S), dinv)
+    DinvS = sp.csr_matrix(DinvS)
+    rho = approximate_spectral_radius(DinvS)
+    return omega / max(rho, 1e-300), DinvS
+
+
+def _blockdiag_csr(blocks):
+    """(n, bs, bs) stack -> block-diagonal CSR, vectorized."""
+    n, bs, _ = blocks.shape
+    rows = (np.arange(n)[:, None, None] * bs + np.arange(bs)[None, :, None])
+    cols = (np.arange(n)[:, None, None] * bs + np.arange(bs)[None, None, :])
+    rows = np.broadcast_to(rows, (n, bs, bs)).ravel()
+    cols = np.broadcast_to(cols, (n, bs, bs)).ravel()
+    return sp.csr_matrix((blocks.ravel(), (rows, cols)), shape=(n * bs, n * bs))
+
+
+def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
+                                 weighting="diagonal", filter_entries=False):
+    """P = (I - omega * D^{-1} S)^degree @ T.
+
+    Rebuild of [R] pyamg/aggregation/smooth.py::jacobi_prolongation_smoother.
+    ``omega`` is scaled by rho(D^{-1} S) for 'diagonal'/'block' weighting
+    (reference behavior); 'local' weighting uses abs row-sum scaling with
+    omega unscaled.
+    """
+    omega_eff, DinvS = _dinv_scaled(S, weighting, omega)
+    P = sp.csr_matrix(T)
+    for _ in range(int(degree)):
+        P = P - omega_eff * sp.csr_matrix(DinvS @ P)
+        P = sp.csr_matrix(P)
+    P.eliminate_zeros()
+    return P
+
+
+def richardson_prolongation_smoother(S, T, omega=4.0 / 3.0, degree=1):
+    """P = (I - omega/rho(S) * S)^degree @ T.
+
+    Rebuild of [R] pyamg/aggregation/smooth.py::richardson_prolongation_smoother.
+    """
+    rho = approximate_spectral_radius(S)
+    w = omega / max(rho, 1e-300)
+    P = sp.csr_matrix(T)
+    S = sp.csr_matrix(S)
+    for _ in range(int(degree)):
+        P = P - w * sp.csr_matrix(S @ P)
+        P = sp.csr_matrix(P)
+    P.eliminate_zeros()
+    return P
+
+
+def satisfy_constraints(U, B, BtBinv):
+    """Project update U so that U @ B = 0 row-wise (in place on U.data).
+
+    Rebuild of [R] pyamg/aggregation/smooth.py::Satisfy_Constraints
+    (amg_core satisfy_constraints_helper): for each row i with pattern J,
+    subtract the component of U[i, J] along span(B[J]) so the candidate
+    interpolation constraint P @ Bc = B is preserved by the energy
+    minimization update.  BtBinv holds (B_J^H B_J)^+ per row.
+    """
+    U = sp.csr_matrix(U)
+    U.sort_indices()
+    n = U.shape[0]
+    lens = np.diff(U.indptr)
+    if U.nnz == 0:
+        return U
+    maxlen = int(lens.max())
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    pad_idx = np.zeros((n, maxlen), dtype=np.int64)
+    pad_val = np.zeros((n, maxlen), dtype=U.dtype)
+    pad_idx[mask] = U.indices
+    pad_val[mask] = U.data
+    Bn = np.where(mask[:, :, None], B[pad_idx], 0)          # (n, m, k)
+    UB = np.einsum("nm,nmk->nk", pad_val, Bn)                # (n, k)
+    coef = np.einsum("nk,nkl->nl", UB, BtBinv)               # (n, k)
+    corr = np.einsum("nl,nml->nm", coef, Bn.conj())
+    pad_val = pad_val - np.where(mask, corr, 0)
+    U.data = pad_val[mask]
+    return U
+
+
+def _masked_spgemm(A, Bmat, pattern):
+    """(A @ Bmat) restricted to the sparsity of ``pattern``.
+
+    Analog of amg_core incomplete_mat_mult_bsr/csr (SURVEY.md §2.4) — the
+    engine of energy minimization.  Computed as an exact product followed
+    by a pattern mask (numerically identical to the reference's
+    incomplete product on that pattern).
+    """
+    full = sp.csr_matrix(A @ Bmat)
+    mask = pattern.copy()
+    mask.data = np.ones_like(mask.data)
+    out = sp.csr_matrix(full.multiply(mask))
+    # ensure the full pattern is present (explicit zeros kept) so later
+    # in-place updates can address every slot
+    out = out + 0.0 * mask
+    out = sp.csr_matrix(out)
+    out.sort_indices()
+    return out
+
+
+def energy_prolongation_smoother(
+    A, T, Atilde, B, Bf, Cpt_params, krylov="cg", maxiter=4, tol=1e-8,
+    degree=1, weighting="local", prefilter=None, postfilter=None,
+):
+    """Energy-minimization prolongation smoothing.
+
+    Rebuild of [R] pyamg/aggregation/smooth.py::energy_prolongation_smoother:
+    minimize the energy of P's columns in the A-norm subject to (a) the
+    sparsity pattern ``Atilde^degree @ T`` and (b) the interpolation
+    constraint ``P @ Bc = B`` (enforced via :func:`satisfy_constraints`).
+    krylov='cg' (SPD), 'cgnr' (nonsymmetric, normal equations), or 'gmres'.
+
+    Parameters mirror the reference; ``Cpt_params`` is either None or the
+    (bool, dict) pair from rootnode (identity rows at root C-points are
+    preserved through the iteration).
+    """
+    A = sp.csr_matrix(A) if A.format != "bsr" else A
+    Acsr = sp.csr_matrix(A)
+    T = sp.csr_matrix(T)
+    Bf = np.asarray(Bf)
+    if Bf.ndim == 1:
+        Bf = Bf.reshape(-1, 1)
+    B = np.asarray(B)
+    if B.ndim == 1:
+        B = B.reshape(-1, 1)
+
+    # sparsity pattern: Atilde^degree @ T  (pattern only)
+    pattern = sp.csr_matrix(T)
+    Ap = sp.csr_matrix(Atilde)
+    for _ in range(int(degree)):
+        pattern = sp.csr_matrix(Ap @ pattern)
+    if prefilter:
+        from ..util.utils import filter_matrix_rows, truncate_rows
+        if "theta" in prefilter:
+            pattern = filter_matrix_rows(pattern, prefilter["theta"])
+        if "k" in prefilter:
+            pattern = truncate_rows(pattern, prefilter["k"])
+    pattern.data = np.ones_like(pattern.data)
+    pattern.sort_indices()
+
+    rootnode = Cpt_params is not None and Cpt_params[0]
+    if rootnode:
+        params = Cpt_params[1]
+        I_F = params["I_F"]
+        P_I = params["P_I"]
+
+    # weighted preconditioner for the energy iteration
+    if weighting == "diagonal":
+        dinv = get_diagonal(Acsr, inv=True)
+    elif weighting == "local":
+        d = np.asarray(np.abs(Acsr).sum(axis=1)).ravel()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dinv = np.where(d != 0, 1.0 / d, 0.0)
+    else:
+        dinv = get_diagonal(Acsr, inv=True)
+
+    # Gram pseudo-inverses for the constraint projection over the pattern
+    BtBinv = compute_BtBinv(B, pattern)
+
+    P = T.copy()
+
+    def project(U):
+        U = satisfy_constraints(U, B, BtBinv)
+        if rootnode:
+            U = sp.csr_matrix(I_F @ U)
+        return U
+
+    if krylov == "cg":
+        # preconditioned steepest-descent/CG in the A-energy functional,
+        # matricized over all columns of P at once
+        R = _masked_spgemm(Acsr, P, pattern)       # residual = A P  (target 0)
+        R = sp.csr_matrix(-R)
+        R = project(R)
+        oldsum = 0.0
+        Pk = None
+        for it in range(int(maxiter)):
+            Z = scale_rows(R, dinv, copy=True)      # preconditioned residual
+            newsum = _fro_inner(R, Z)
+            if newsum <= tol * tol or abs(newsum) < 1e-300:
+                break
+            if it == 0:
+                Pk = Z
+            else:
+                beta = newsum / oldsum
+                Pk = sp.csr_matrix(Z + beta * Pk)
+            oldsum = newsum
+            APk = _masked_spgemm(Acsr, Pk, pattern)
+            APk = project(APk)
+            denom = _fro_inner(Pk, APk)
+            if abs(denom) < 1e-300:
+                break
+            alpha = newsum / denom
+            P = sp.csr_matrix(P + alpha * Pk)
+            R = sp.csr_matrix(R - alpha * APk)
+        P = sp.csr_matrix(P)
+    elif krylov in ("cgnr",):
+        AH = Acsr.conjugate().T.tocsr()
+        R = _masked_spgemm(Acsr, P, pattern)
+        R = sp.csr_matrix(-R)
+        oldsum = 0.0
+        Pk = None
+        for it in range(int(maxiter)):
+            Z = _masked_spgemm(AH, R, pattern)
+            Z = project(Z)
+            newsum = _fro_inner(Z, Z)
+            if newsum <= tol * tol or abs(newsum) < 1e-300:
+                break
+            if it == 0:
+                Pk = Z
+            else:
+                Pk = sp.csr_matrix(Z + (newsum / oldsum) * Pk)
+            oldsum = newsum
+            APk = _masked_spgemm(Acsr, Pk, pattern)
+            denom = _fro_inner(APk, APk)
+            if abs(denom) < 1e-300:
+                break
+            alpha = newsum / denom
+            P = sp.csr_matrix(P + alpha * Pk)
+            R = sp.csr_matrix(R - alpha * APk)
+    elif krylov == "gmres":
+        # one-shot minimal-residual iterations (restarted GMRES(1) per step)
+        R = sp.csr_matrix(-_masked_spgemm(Acsr, P, pattern))
+        R = project(R)
+        for _ in range(int(maxiter)):
+            Z = scale_rows(R, dinv, copy=True)
+            AZ = _masked_spgemm(Acsr, Z, pattern)
+            AZ = project(AZ)
+            denom = _fro_inner(AZ, AZ)
+            if abs(denom) < 1e-300:
+                break
+            alpha = _fro_inner(AZ, R) / denom
+            P = sp.csr_matrix(P + alpha * Z)
+            R = sp.csr_matrix(R - alpha * AZ)
+    else:
+        raise ValueError(f"unknown krylov method {krylov}")
+
+    if rootnode:
+        P = sp.csr_matrix(I_F @ P + P_I)
+    if postfilter:
+        from ..util.utils import filter_matrix_rows, truncate_rows, filter_operator
+        if "theta" in postfilter:
+            P = filter_operator(P, filter_matrix_rows(P, postfilter["theta"]), B, Bf)
+        if "k" in postfilter:
+            P = filter_operator(P, truncate_rows(P, postfilter["k"]), B, Bf)
+    P.eliminate_zeros()
+    P.sort_indices()
+    return P
+
+
+def _fro_inner(X, Y):
+    """Frobenius inner product of two same-pattern sparse matrices."""
+    Xc = sp.csr_matrix(X)
+    Yc = sp.csr_matrix(Y)
+    return float(np.real(Xc.multiply(Yc.conjugate()).sum()))

@@ -1,0 +1,171 @@
+"""ctypes loader/builder for the native amg_core extension.
+
+Compiles amg_core.cpp with g++ on first use (cached as a .so next to the
+source, keyed by source hash).  Returns None when no compiler is
+available so pure-NumPy fallbacks take over transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import warnings
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "amg_core.cpp")
+
+# names re-exported by the package when the extension loads
+NATIVE_EXPORTS = [
+    "standard_aggregation",
+    "naive_aggregation",
+    "rs_cf_splitting",
+    "gauss_seidel_indexed",
+    "gauss_seidel_ne",
+]
+
+_cached = None
+_tried = False
+
+
+def _build():
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    sofile = os.path.join(_HERE, f"_amg_core_{digest}.so")
+    if not os.path.exists(sofile):
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-std=c++17", _SRC, "-o", sofile,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError) as exc:
+            warnings.warn(f"amg_core native build failed ({exc}); "
+                          "using NumPy fallbacks")
+            return None
+    try:
+        return ctypes.CDLL(sofile)
+    except OSError as exc:
+        warnings.warn(f"amg_core load failed ({exc}); using NumPy fallbacks")
+        return None
+
+
+class _Native:
+    """Typed Python wrappers over the raw ctypes symbols."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        f64 = ctypes.POINTER(ctypes.c_double)
+        lib.standard_aggregation.restype = ctypes.c_int64
+        lib.standard_aggregation.argtypes = [ctypes.c_int64, i64, i64, i64, i64]
+        lib.naive_aggregation.restype = ctypes.c_int64
+        lib.naive_aggregation.argtypes = [ctypes.c_int64, i64, i64, i64, i64]
+        lib.rs_cf_splitting.restype = None
+        lib.rs_cf_splitting.argtypes = [
+            ctypes.c_int64, i64, i64, i64, i64, ctypes.c_int64, i64,
+        ]
+        lib.gauss_seidel_indexed.restype = None
+        lib.gauss_seidel_indexed.argtypes = [
+            ctypes.c_int64, i64, i64, f64, f64, f64, i64, ctypes.c_int64,
+        ]
+        lib.gauss_seidel_ne.restype = None
+        lib.gauss_seidel_ne.argtypes = [
+            ctypes.c_int64, i64, i64, f64, f64, f64, f64,
+            ctypes.c_int64, ctypes.c_double,
+        ]
+
+    @staticmethod
+    def _i64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    @staticmethod
+    def _ptr_i(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    @staticmethod
+    def _ptr_f(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    def standard_aggregation(self, indptr, indices):
+        n = len(indptr) - 1
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        x = np.full(n, -1, dtype=np.int64)
+        roots = np.empty(n, dtype=np.int64)
+        n_agg = self._lib.standard_aggregation(
+            n, self._ptr_i(indptr), self._ptr_i(indices),
+            self._ptr_i(x), self._ptr_i(roots),
+        )
+        return x, roots[:n_agg].copy()
+
+    def naive_aggregation(self, indptr, indices):
+        n = len(indptr) - 1
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        x = np.full(n, -1, dtype=np.int64)
+        roots = np.empty(n, dtype=np.int64)
+        n_agg = self._lib.naive_aggregation(
+            n, self._ptr_i(indptr), self._ptr_i(indices),
+            self._ptr_i(x), self._ptr_i(roots),
+        )
+        return x, roots[:n_agg].copy()
+
+    def rs_cf_splitting(self, Sp, Sj, Tp, Tj, second_pass=False):
+        n = len(Sp) - 1
+        Sp, Sj = self._i64(Sp), self._i64(Sj)
+        Tp, Tj = self._i64(Tp), self._i64(Tj)
+        splitting = np.full(n, 2, dtype=np.int64)  # U_NODE = 2
+        self._lib.rs_cf_splitting(
+            n, self._ptr_i(Sp), self._ptr_i(Sj), self._ptr_i(Tp),
+            self._ptr_i(Tj), 1 if second_pass else 0, self._ptr_i(splitting),
+        )
+        return splitting
+
+    def gauss_seidel_indexed(self, indptr, indices, data, x, b, order):
+        n = len(order)
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        order = self._i64(order)
+        if x.dtype != np.float64 or not x.flags.c_contiguous:
+            raise TypeError("x must be contiguous float64 for native GS")
+        b = np.ascontiguousarray(b, dtype=np.float64)
+        self._lib.gauss_seidel_indexed(
+            n, self._ptr_i(indptr), self._ptr_i(indices), self._ptr_f(data),
+            self._ptr_f(x), self._ptr_f(b), self._ptr_i(order), n,
+        )
+
+    def gauss_seidel_ne(self, indptr, indices, data, x, b, row_norms,
+                        direction, omega):
+        n = len(indptr) - 1
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        if x.dtype != np.float64 or not x.flags.c_contiguous:
+            raise TypeError("x must be contiguous float64 for native GS-NE")
+        b = np.ascontiguousarray(b, dtype=np.float64)
+        row_norms = np.ascontiguousarray(row_norms, dtype=np.float64)
+        self._lib.gauss_seidel_ne(
+            n, self._ptr_i(indptr), self._ptr_i(indices), self._ptr_f(data),
+            self._ptr_f(x), self._ptr_f(b), self._ptr_f(row_norms),
+            int(direction), float(omega),
+        )
+
+
+def get_native():
+    global _cached, _tried
+    if _tried:
+        return _cached
+    _tried = True
+    if os.environ.get("PYAMG_TPU_NO_NATIVE"):
+        return None
+    lib = _build()
+    if lib is not None:
+        _cached = _Native(lib)
+    return _cached

@@ -1,0 +1,262 @@
+// Native setup-phase kernels for pyamg_tpu.
+//
+// TPU-native analog of the reference's amg_core C++ layer (SURVEY.md
+// §2.4): the serial-semantics algorithms whose ordered-greedy behavior
+// cannot be vectorized — Ruge-Stuben C/F splitting (bucket-queue
+// priority), greedy aggregation passes, and sequential relaxation
+// sweeps.  Written from scratch against the algorithm definitions in
+// SURVEY.md; flat extern "C" ABI over raw CSR arrays, bound via ctypes
+// (no pybind11 dependency in this environment).
+//
+// Index type is int64 throughout (matches scipy's default on this
+// platform); values are double.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Aggregation (SURVEY.md §2.2: amg_core standard_aggregation /
+// naive_aggregation semantics)
+// ---------------------------------------------------------------------
+
+// Standard (VMB) two-pass greedy aggregation + leftovers.
+// x[i] (out): aggregate id or -1; roots (out): root node per aggregate.
+// Returns number of aggregates.
+int64_t standard_aggregation(int64_t n, const int64_t* indptr,
+                             const int64_t* indices, int64_t* x,
+                             int64_t* roots) {
+  std::vector<int8_t> from_pass1(n, 0);
+  int64_t n_agg = 0;
+  // pass 1: node i and all strong neighbors unaggregated -> new aggregate
+  for (int64_t i = 0; i < n; ++i) {
+    if (x[i] != -1) continue;
+    bool free_nbhd = true;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (j != i && x[j] != -1) { free_nbhd = false; break; }
+    }
+    if (!free_nbhd) continue;
+    roots[n_agg] = i;
+    x[i] = n_agg;
+    from_pass1[i] = 1;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (j != i) { x[j] = n_agg; from_pass1[j] = 1; }
+    }
+    ++n_agg;
+  }
+  // pass 2: join a neighboring pass-1 aggregate (no cascading)
+  for (int64_t i = 0; i < n; ++i) {
+    if (x[i] != -1) continue;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (j != i && x[j] != -1 && from_pass1[j]) {
+        x[i] = -x[j] - 2;  // mark as pass-2 (decoded below)
+        break;
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (x[i] < -1) x[i] = -x[i] - 2;
+  // pass 3: leftovers seed new aggregates with unaggregated neighbors
+  for (int64_t i = 0; i < n; ++i) {
+    if (x[i] != -1) continue;
+    roots[n_agg] = i;
+    x[i] = n_agg;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (j != i && x[j] == -1) x[j] = n_agg;
+    }
+    ++n_agg;
+  }
+  return n_agg;
+}
+
+// One-pass greedy aggregation.
+int64_t naive_aggregation(int64_t n, const int64_t* indptr,
+                          const int64_t* indices, int64_t* x,
+                          int64_t* roots) {
+  int64_t n_agg = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (x[i] != -1) continue;
+    roots[n_agg] = i;
+    x[i] = n_agg;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (x[j] == -1) x[j] = n_agg;
+    }
+    ++n_agg;
+  }
+  return n_agg;
+}
+
+// ---------------------------------------------------------------------
+// Ruge-Stuben C/F splitting (SURVEY.md §2.4 ruge_stuben.h semantics)
+// ---------------------------------------------------------------------
+// S: row i = {j : i strongly depends on j}   (CSR Sp/Sj)
+// T: row i = {j : j strongly depends on i}   (CSR Tp/Tj; T = S^T)
+// splitting (out): F_NODE=0, C_NODE=1, U_NODE=2 on entry (all 2).
+//
+// Classic first pass with a bucket priority queue on lambda =
+// |{undecided j depending on i}| (+1 per new F dependent), followed by
+// the optional second pass enforcing the F-F common-C heuristic.
+
+static const int64_t F_NODE = 0;
+static const int64_t C_NODE = 1;
+static const int64_t U_NODE = 2;
+
+void rs_cf_splitting(int64_t n, const int64_t* Sp, const int64_t* Sj,
+                     const int64_t* Tp, const int64_t* Tj,
+                     int64_t second_pass, int64_t* splitting) {
+  std::vector<int64_t> lambda(n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cnt = 0;
+    for (int64_t k = Tp[i]; k < Tp[i + 1]; ++k)
+      if (Tj[k] != i) ++cnt;
+    lambda[i] = cnt;
+  }
+
+  // bucket queue: nodes grouped by lambda value; lambda can grow to 2n
+  int64_t max_lambda = 2 * n + 1;
+  std::vector<int64_t> head(max_lambda + 1, -1);
+  std::vector<int64_t> next(n, -1), prev(n, -1), cur_lambda(n);
+  int64_t top = 0;
+
+  auto bucket_insert = [&](int64_t i, int64_t lam) {
+    cur_lambda[i] = lam;
+    next[i] = head[lam];
+    prev[i] = -1;
+    if (head[lam] != -1) prev[head[lam]] = i;
+    head[lam] = i;
+    if (lam > top) top = lam;
+  };
+  auto bucket_remove = [&](int64_t i) {
+    int64_t lam = cur_lambda[i];
+    if (prev[i] != -1) next[prev[i]] = next[i];
+    else head[lam] = next[i];
+    if (next[i] != -1) prev[next[i]] = prev[i];
+    next[i] = prev[i] = -1;
+  };
+
+  for (int64_t i = 0; i < n; ++i) bucket_insert(i, lambda[i]);
+
+  int64_t remaining = n;
+  while (remaining > 0) {
+    while (top > 0 && head[top] == -1) --top;
+    if (head[top] == -1 && top == 0) {
+      // only isolated nodes left
+      bool any = false;
+      for (int64_t i = 0; i < n; ++i) {
+        if (splitting[i] == U_NODE) {
+          splitting[i] = C_NODE;  // isolated -> C (harmless)
+          --remaining;
+          any = true;
+        }
+      }
+      if (!any) break;
+      continue;
+    }
+    int64_t i = head[top];
+    bucket_remove(i);
+    splitting[i] = C_NODE;
+    --remaining;
+    // every undecided j depending on i becomes F
+    for (int64_t k = Tp[i]; k < Tp[i + 1]; ++k) {
+      int64_t j = Tj[k];
+      if (j == i || splitting[j] != U_NODE) continue;
+      splitting[j] = F_NODE;
+      bucket_remove(j);
+      --remaining;
+      // j's undecided influences become more attractive C candidates
+      for (int64_t m = Sp[j]; m < Sp[j + 1]; ++m) {
+        int64_t kk = Sj[m];
+        if (kk != j && splitting[kk] == U_NODE) {
+          bucket_remove(kk);
+          bucket_insert(kk, cur_lambda[kk] + 1);
+        }
+      }
+    }
+    // i's undecided influences lose one potential dependent
+    for (int64_t k = Sp[i]; k < Sp[i + 1]; ++k) {
+      int64_t j = Sj[k];
+      if (j != i && splitting[j] == U_NODE && cur_lambda[j] > 0) {
+        bucket_remove(j);
+        bucket_insert(j, cur_lambda[j] - 1);
+      }
+    }
+  }
+
+  if (second_pass) {
+    // enforce: every strong F-F pair shares a common strong C point
+    std::vector<int64_t> marker(n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+      if (splitting[i] != F_NODE) continue;
+      for (int64_t k = Sp[i]; k < Sp[i + 1]; ++k) {
+        int64_t c = Sj[k];
+        if (c != i && splitting[c] == C_NODE) marker[c] = i;
+      }
+      for (int64_t k = Sp[i]; k < Sp[i + 1]; ++k) {
+        int64_t j = Sj[k];
+        if (j == i || splitting[j] != F_NODE) continue;
+        bool ok = false;
+        for (int64_t m = Sp[j]; m < Sp[j + 1]; ++m) {
+          int64_t c = Sj[m];
+          if (c != j && splitting[c] == C_NODE && marker[c] == i) {
+            ok = true;
+            break;
+          }
+        }
+        if (!ok) {
+          splitting[i] = C_NODE;  // promote i and move to next i
+          break;
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// Sequential relaxation sweeps (SURVEY.md §2.4 relaxation.h semantics)
+// ---------------------------------------------------------------------
+
+// Gauss-Seidel over an explicit index order.
+void gauss_seidel_indexed(int64_t n_order, const int64_t* indptr,
+                          const int64_t* indices, const double* data,
+                          double* x, const double* b, const int64_t* order,
+                          int64_t order_len) {
+  (void)n_order;
+  for (int64_t oi = 0; oi < order_len; ++oi) {
+    int64_t i = order[oi];
+    double diag = 0.0, rsum = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (j == i) diag += data[k];
+      else rsum += data[k] * x[j];
+    }
+    if (diag != 0.0) x[i] = (b[i] - rsum) / diag;
+  }
+}
+
+// Kaczmarz (Gauss-Seidel on A A^H): sequential row projections.
+void gauss_seidel_ne(int64_t n, const int64_t* indptr,
+                     const int64_t* indices, const double* data, double* x,
+                     const double* b, const double* row_norms,
+                     int64_t direction, double omega) {
+  int64_t start = direction >= 0 ? 0 : n - 1;
+  int64_t stop = direction >= 0 ? n : -1;
+  int64_t step = direction >= 0 ? 1 : -1;
+  for (int64_t i = start; i != stop; i += step) {
+    if (row_norms[i] == 0.0) continue;
+    double ri = b[i];
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      ri -= data[k] * x[indices[k]];
+    double scale = omega * ri / row_norms[i];
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      x[indices[k]] += scale * data[k];
+  }
+}
+
+}  // extern "C"

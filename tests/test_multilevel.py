@@ -1,0 +1,106 @@
+"""MultilevelSolver cycles, preconditioner wrapping, complexities."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pyamg_tpu import MultilevelSolver, coarse_grid_solver
+from pyamg_tpu.aggregation import smoothed_aggregation_solver
+from pyamg_tpu.gallery import poisson
+
+
+@pytest.fixture(scope="module")
+def ml_and_system():
+    A = poisson((40, 40), format="csr")
+    ml = smoothed_aggregation_solver(A, max_coarse=10)
+    b = np.random.default_rng(0).random(A.shape[0])
+    return ml, A, b
+
+
+@pytest.mark.parametrize("cycle", ["V", "W", "F", "AMLI"])
+def test_cycles_converge(ml_and_system, cycle):
+    ml, A, b = ml_and_system
+    residuals = []
+    ml.solve(b, tol=1e-8, maxiter=60, cycle=cycle, residuals=residuals)
+    assert residuals[-1] / residuals[0] < 1e-7, f"cycle {cycle}"
+    # W/F cycles should not be slower per iteration than V
+    factor = (residuals[-1] / residuals[0]) ** (1.0 / (len(residuals) - 1))
+    assert factor < 0.3
+
+
+def test_aspreconditioner_scipy_cg(ml_and_system):
+    ml, A, b = ml_and_system
+    from scipy.sparse.linalg import cg as scipy_cg
+
+    M = ml.aspreconditioner()
+    x, info = scipy_cg(A, b, M=M, rtol=1e-8)
+    assert info == 0
+    np.testing.assert_allclose(A @ x, b, atol=1e-5)
+
+
+def test_complexities(ml_and_system):
+    ml, A, b = ml_and_system
+    assert 1.0 < ml.operator_complexity() < 2.0
+    assert 1.0 < ml.grid_complexity() < 2.0
+    assert ml.cycle_complexity("V") > 1.0
+    assert ml.cycle_complexity("W") > ml.cycle_complexity("V")
+
+
+def test_repr(ml_and_system):
+    ml, A, b = ml_and_system
+    out = repr(ml)
+    assert "MultilevelSolver" in out
+    assert "Operator Complexity" in out
+
+
+def test_residuals_contract(ml_and_system):
+    """residuals[0] == ||b - A x0||, appended every iteration."""
+    ml, A, b = ml_and_system
+    residuals = []
+    ml.solve(b, x0=None, tol=1e-8, maxiter=10, residuals=residuals)
+    np.testing.assert_allclose(residuals[0], np.linalg.norm(b), rtol=1e-12)
+    assert len(residuals) >= 2
+
+
+def test_coarse_grid_solvers():
+    A = poisson((8, 8), format="csr")
+    b = np.random.default_rng(1).random(A.shape[0])
+    x_exact = sp.linalg.spsolve(A.tocsc(), b)
+    for name in ("pinv", "lu", "splu", "cholesky"):
+        cs = coarse_grid_solver(name)
+        x = cs(A, b)
+        np.testing.assert_allclose(x, x_exact, atol=1e-8), name
+    cs = coarse_grid_solver(("gauss_seidel", {"iterations": 200}))
+    x = cs(A, b)
+    np.testing.assert_allclose(x, x_exact, atol=1e-2)
+
+
+def test_accel_string_resolution(ml_and_system):
+    ml, A, b = ml_and_system
+    for accel in ("cg", "gmres", "bicgstab"):
+        residuals = []
+        x = ml.solve(b, tol=1e-8, accel=accel, residuals=residuals)
+        assert residuals[-1] / residuals[0] < 1e-7, accel
+
+
+def test_solve_with_x0(ml_and_system):
+    ml, A, b = ml_and_system
+    x_exact = sp.linalg.spsolve(A.tocsc(), b)
+    x0 = x_exact + 1e-3 * np.random.default_rng(2).random(A.shape[0])
+    residuals = []
+    x = ml.solve(b, x0=x0, tol=1e-10, maxiter=30, residuals=residuals)
+    assert residuals[0] < 1.0  # started close
+    np.testing.assert_allclose(x, x_exact, atol=1e-7)
+
+
+def test_matrix_formats():
+    """SA accepts dense input with a warning, and BSR directly."""
+    import warnings
+
+    A = poisson((10, 10), format="csr")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ml = smoothed_aggregation_solver(A.toarray())
+    b = np.ones(A.shape[0])
+    x = ml.solve(b, tol=1e-8)
+    np.testing.assert_allclose(A @ x, b, atol=1e-4)
