@@ -1,0 +1,21 @@
+"""TPU solve-phase engine: jitted hierarchies, cycles, Krylov.
+
+See SURVEY.md §7: the solve phase is one jitted XLA program over a static
+level pytree.  Build with ``as_device_solver(ml)`` from any host
+MultilevelSolver.
+"""
+
+from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
+from .krylov import device_bicgstab, device_cg, device_fgmres
+from .solver import DeviceMultilevelSolver, as_device_solver
+
+__all__ = [
+    "DeviceHierarchy",
+    "DeviceLevel",
+    "compile_hierarchy",
+    "device_bicgstab",
+    "device_cg",
+    "device_fgmres",
+    "DeviceMultilevelSolver",
+    "as_device_solver",
+]

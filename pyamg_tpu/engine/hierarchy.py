@@ -1,0 +1,296 @@
+"""Compile a host MultilevelSolver into a device-resident hierarchy.
+
+This is the bridge between the two halves of the framework (SURVEY.md §7
+design stance): the setup phase produces scipy operators; this module
+converts them once into padded DIA/dense/windowed pytrees + static
+smoother configs, and the solve phase (:mod:`pyamg_tpu.engine.solver`)
+traces ONE XLA program over the static level structure — cycles unrolled
+over the level count, Krylov as lax.while_loop — so an entire
+preconditioned solve runs on device with no host round-trips (the
+reference's per-level Python<->C++ crossings, SURVEY.md §3.2, disappear).
+
+Everything device-resident is a pytree LEAF (operators, diagonal
+inverses, colorings, masks) and the whole DeviceHierarchy is passed as a
+jit *argument* — on this backend, closure-captured device constants get
+re-uploaded per call (~28 ms each), so nothing may be captured.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import vertex_coloring
+from ..relaxation.chebyshev import chebyshev_polynomial_coefficients
+from ..relaxation.smoothing import rho_D_inv_A, rho_block_D_inv_A
+from ..sparse import pad_to, pad_vector, select_operator
+from ..util.linalg import approximate_spectral_radius
+from ..util.utils import get_block_diag
+from . import relaxation as device_relaxation
+
+__all__ = ["DeviceLevel", "DeviceHierarchy", "compile_hierarchy"]
+
+_ROW_PAD = 1024
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceLevel:
+    """Device operators + smoothers for one level (a pytree)."""
+
+    A: Any
+    P: Optional[Any]
+    R: Optional[Any]
+    pre: device_relaxation.DeviceSmoother
+    post: device_relaxation.DeviceSmoother
+    n: int                   # logical size (static)
+    n_pad: int               # padded size (static)
+
+    def tree_flatten(self):
+        return (self.A, self.P, self.R, self.pre, self.post), (
+            self.n, self.n_pad)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        A, P, R, pre, post = children
+        n, n_pad = aux
+        return cls(A=A, P=P, R=R, pre=pre, post=post, n=n, n_pad=n_pad)
+
+    def presmooth(self, A, x, b):
+        return self.pre(A, x, b)
+
+    def postsmooth(self, A, x, b):
+        return self.post(A, x, b)
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceHierarchy:
+    """Pytree of DeviceLevels + dense coarse inverse."""
+
+    def __init__(self, levels, coarse_inv, nc, nc_pad, dtype):
+        self.levels = list(levels)
+        self.coarse_inv = coarse_inv    # (nc_pad, nc_pad) device array
+        self.nc = nc
+        self.nc_pad = nc_pad
+        self.dtype = dtype
+
+    def tree_flatten(self):
+        return (tuple(self.levels), self.coarse_inv), (
+            self.nc, self.nc_pad, str(jnp.dtype(self.dtype)))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, coarse_inv = children
+        nc, nc_pad, dtype = aux
+        return cls(levels=list(levels), coarse_inv=coarse_inv, nc=nc,
+                   nc_pad=nc_pad, dtype=jnp.dtype(dtype))
+
+    def coarse_solve(self, bc):
+        # coarse_inv is stored padded (nc_pad, nc_pad) with zero rows/cols
+        # beyond nc, so the padded product is exact and shape-stable
+        return self.coarse_inv @ bc
+
+
+def _device_dinv(A_scipy, n_pad, dtype):
+    d = A_scipy.diagonal()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dinv = np.where(d != 0, 1.0 / d, 0.0)
+    out = np.zeros(n_pad, dtype=np.float64)
+    out[: len(dinv)] = dinv
+    return jnp.asarray(out, dtype=dtype)
+
+
+def _device_block_dinv(A_scipy, bs, nb_pad, dtype):
+    Dinv = get_block_diag(A_scipy, bs, inv_flag=True)
+    out = np.zeros((nb_pad, bs, bs), dtype=np.float64)
+    out[: Dinv.shape[0]] = Dinv
+    return jnp.asarray(out, dtype=dtype)
+
+
+def _colors_for(A_scipy, n_pad):
+    """JP coloring of the scalar connectivity graph, padded with -1."""
+    pattern = sp.csr_matrix(A_scipy)
+    colors = vertex_coloring(pattern, method="JP")
+    out = np.full(n_pad, -1, dtype=np.int64)
+    out[: len(colors)] = colors
+    return jnp.asarray(out, dtype=jnp.int32), int(colors.max()) + 1
+
+
+def _block_colors_for(A_scipy, bs, nb_pad):
+    from ..util.utils import amalgamate
+
+    node_graph = (amalgamate(sp.csr_matrix(A_scipy), bs) if bs > 1
+                  else sp.csr_matrix(A_scipy))
+    colors = vertex_coloring(node_graph, method="JP")
+    out = np.full(nb_pad, -1, dtype=np.int64)
+    out[: len(colors)] = colors
+    return jnp.asarray(out, dtype=jnp.int32), int(colors.max()) + 1
+
+
+def _compile_smoother(lvl, spec, dtype, n_pad):
+    """Map a resolved host smoother spec onto its device-parallel form.
+
+    Sequential-semantics smoothers become their hybrid (multicolor)
+    equivalents; convergence-factor parity (not bitwise parity) is the
+    acceptance criterion (SURVEY.md §7 hard part 3).
+    """
+    A = lvl.A
+    Acsr = sp.csr_matrix(A)
+    name, kwargs = spec if spec is not None else (None, {})
+    kwargs = dict(kwargs or {})
+
+    if name is None or name == "none":
+        return device_relaxation.identity()
+
+    iterations = int(kwargs.get("iterations", 1))
+
+    if name in ("jacobi", "jacobi_ne"):
+        omega = float(kwargs.get("omega", 1.0))
+        if kwargs.get("withrho", True):
+            omega = omega / rho_D_inv_A(Acsr)
+        dinv = _device_dinv(Acsr, n_pad, dtype)
+        return device_relaxation.jacobi(dinv, omega, iterations)
+
+    if name == "richardson":
+        omega = float(kwargs.get("omega", 1.0))
+        omega = omega / max(approximate_spectral_radius(Acsr), 1e-300)
+        return device_relaxation.richardson(omega, iterations)
+
+    if name in ("gauss_seidel", "sor", "gauss_seidel_ne", "gauss_seidel_nr"):
+        sweep = kwargs.get("sweep", "forward")
+        dinv = _device_dinv(Acsr, n_pad, dtype)
+        colors, ncolors = _colors_for(Acsr, n_pad)
+        return device_relaxation.multicolor_gs(
+            dinv, colors, ncolors, sweep=sweep, iterations=iterations)
+
+    if name == "block_gauss_seidel":
+        bs = kwargs.get("blocksize")
+        if bs is None:
+            bs = A.blocksize[0] if sp.issparse(A) and A.format == "bsr" else 1
+        if bs == 1 or n_pad % bs != 0:
+            sweep = kwargs.get("sweep", "forward")
+            dinv = _device_dinv(Acsr, n_pad, dtype)
+            colors, ncolors = _colors_for(Acsr, n_pad)
+            return device_relaxation.multicolor_gs(
+                dinv, colors, ncolors, sweep=sweep, iterations=iterations)
+        nb_pad = n_pad // bs
+        Dinv = _device_block_dinv(A, bs, nb_pad, dtype)
+        colors, ncolors = _block_colors_for(A, bs, nb_pad)
+        return device_relaxation.block_multicolor_gs(
+            Dinv, colors, ncolors, sweep=kwargs.get("sweep", "forward"),
+            iterations=iterations)
+
+    if name == "block_jacobi":
+        bs = kwargs.get("blocksize")
+        if bs is None:
+            bs = A.blocksize[0] if sp.issparse(A) and A.format == "bsr" else 1
+        omega = float(kwargs.get("omega", 1.0))
+        if bs == 1 or n_pad % bs != 0:
+            if kwargs.get("withrho", True):
+                omega = omega / rho_D_inv_A(Acsr)
+            dinv = _device_dinv(Acsr, n_pad, dtype)
+            return device_relaxation.jacobi(dinv, omega, iterations)
+        nb_pad = n_pad // bs
+        Dinv_host = get_block_diag(A, bs, inv_flag=True)
+        if kwargs.get("withrho", True):
+            omega = omega / rho_block_D_inv_A(Acsr, Dinv_host)
+        Dinv = np.zeros((nb_pad, bs, bs))
+        Dinv[: Dinv_host.shape[0]] = Dinv_host
+        return device_relaxation.block_jacobi(
+            jnp.asarray(Dinv, dtype=dtype), omega, iterations)
+
+    if name == "chebyshev":
+        rho = approximate_spectral_radius(Acsr)
+        lower = kwargs.get("lower_bound", 1.0 / 30.0)
+        upper = kwargs.get("upper_bound", 1.1)
+        degree = int(kwargs.get("degree", 3))
+        coefficients = chebyshev_polynomial_coefficients(
+            rho * lower, rho * upper, degree)
+        return device_relaxation.polynomial(coefficients, iterations)
+
+    if name == "polynomial":
+        return device_relaxation.polynomial(kwargs["coefficients"], iterations)
+
+    if name in ("cf_jacobi", "fc_jacobi", "cf_block_jacobi", "fc_block_jacobi"):
+        splitting = getattr(lvl, "splitting", None)
+        if splitting is None:
+            raise ValueError(f"{name} requires lvl.splitting")
+        splitting = np.asarray(splitting)
+        bs = A.blocksize[0] if sp.issparse(A) and A.format == "bsr" else 1
+        cmask = np.zeros(n_pad, dtype=bool)
+        fmask = np.zeros(n_pad, dtype=bool)
+        cnodes = np.flatnonzero(splitting == 1)
+        fnodes = np.flatnonzero(splitting == 0)
+        cmask[(cnodes[:, None] * bs + np.arange(bs)[None, :]).ravel()] = True
+        fmask[(fnodes[:, None] * bs + np.arange(bs)[None, :]).ravel()] = True
+        omega = float(kwargs.get("omega", 1.0))
+        f_it = int(kwargs.get("f_iterations", 1))
+        c_it = int(kwargs.get("c_iterations", 1))
+        dinv = _device_dinv(Acsr, n_pad, dtype)
+        if name.startswith("cf"):
+            masks = (jnp.asarray(cmask), jnp.asarray(fmask))
+            iters = (c_it, f_it)
+        else:
+            masks = (jnp.asarray(fmask), jnp.asarray(cmask))
+            iters = (f_it, c_it)
+        return device_relaxation.masked_jacobi(dinv, masks, iters,
+                                               omega=omega,
+                                               iterations=iterations)
+
+    warnings.warn(
+        f"smoother '{name}' has no device form; substituting hybrid "
+        "multicolor Gauss-Seidel (convergence-equivalent TPU smoother)")
+    dinv = _device_dinv(Acsr, n_pad, dtype)
+    colors, ncolors = _colors_for(Acsr, n_pad)
+    return device_relaxation.multicolor_gs(
+        dinv, colors, ncolors, sweep=kwargs.get("sweep", "symmetric"),
+        iterations=iterations)
+
+
+def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD):
+    """Convert a host MultilevelSolver into a DeviceHierarchy.
+
+    All level operators become padded DIA/dense/windowed device pytrees in
+    ``dtype``; smoother specs resolve to DeviceSmoother pytrees; the
+    coarsest level gets a dense pseudo-inverse.  The returned object is
+    consumed by DeviceMultilevelSolver (pyamg_tpu.engine.solver).
+    """
+    host_levels = ml.levels
+    levels = []
+    for i, lvl in enumerate(host_levels[:-1]):
+        A = sp.csr_matrix(lvl.A)
+        n = A.shape[0]
+        n_pad = pad_to(n, row_pad)
+        A_dev = select_operator(A, dtype=dtype, row_pad=row_pad)
+        P_dev = select_operator(sp.csr_matrix(lvl.P), dtype=dtype,
+                                row_pad=row_pad)
+        R_dev = select_operator(sp.csr_matrix(lvl.R), dtype=dtype,
+                                row_pad=row_pad)
+        pre = _compile_smoother(lvl, getattr(lvl, "presmoother_spec", None),
+                                dtype, n_pad)
+        post = _compile_smoother(lvl, getattr(lvl, "postsmoother_spec", None),
+                                 dtype, n_pad)
+        levels.append(DeviceLevel(A=A_dev, P=P_dev, R=R_dev, pre=pre,
+                                  post=post, n=n, n_pad=n_pad))
+
+    Ac = sp.csr_matrix(host_levels[-1].A)
+    nc = Ac.shape[0]
+    nc_pad = pad_to(nc, row_pad)
+    coarse_inv = np.zeros((nc_pad, nc_pad))
+    coarse_inv[:nc, :nc] = np.linalg.pinv(Ac.toarray())
+    Ac_dev = select_operator(Ac, dtype=dtype, row_pad=row_pad)
+    ident = device_relaxation.identity()
+    levels.append(DeviceLevel(A=Ac_dev, P=None, R=None, pre=ident,
+                              post=ident, n=nc, n_pad=nc_pad))
+    return DeviceHierarchy(
+        levels=levels,
+        coarse_inv=jnp.asarray(coarse_inv, dtype=dtype),
+        nc=nc, nc_pad=nc_pad, dtype=dtype,
+    )

@@ -1,0 +1,223 @@
+"""Device (lax.while_loop) Krylov methods.
+
+TPU-native solve-phase analogs of pyamg_tpu.krylov (SURVEY.md §2.3 L5):
+the whole preconditioned iteration is one XLA program; residual norms are
+captured into a fixed-size history buffer (maxiter+1, NaN-padded) so the
+reference's ``residuals`` list contract survives jit (BASELINE.json:5).
+
+All methods take ``matvec``/``precond`` closures over padded vectors and
+return ``(x, history, iterations)``.  Real arithmetic (f32/f64); complex
+systems use the host path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["device_cg", "device_bicgstab", "device_fgmres"]
+
+
+def _rtol_of(b, tol):
+    normb = jnp.linalg.norm(b)
+    return tol * jnp.where(normb == 0, 1.0, normb)
+
+
+def device_cg(matvec, b, x0, tol=1e-8, maxiter=100, M=None):
+    """Preconditioned CG; see pyamg_tpu/krylov/_cg.py for the host form."""
+    maxiter = int(maxiter)
+    precond = M if M is not None else (lambda v: v)
+
+    r = b - matvec(x0)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    normr = jnp.linalg.norm(r)
+    rtol = _rtol_of(b, tol)
+    history = jnp.full(maxiter + 1, jnp.nan, dtype=b.dtype).at[0].set(normr)
+
+    def cond(state):
+        it, x, r, p, rz, normr, history = state
+        return (normr >= rtol) & (it < maxiter)
+
+    def body(state):
+        it, x, r, p, rz, normr, history = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        alpha = jnp.where(pAp == 0, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        normr = jnp.linalg.norm(r)
+        history = history.at[it + 1].set(normr)
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        beta = jnp.where(rz == 0, 0.0, beta)
+        p = z + beta * p
+        return (it + 1, x, r, p, rz_new, normr, history)
+
+    state = (jnp.asarray(0), x0, r, p, rz, normr, history)
+    it, x, r, p, rz, normr, history = lax.while_loop(cond, body, state)
+    return x, history, it
+
+
+def device_bicgstab(matvec, b, x0, tol=1e-8, maxiter=100, M=None):
+    """Preconditioned BiCGStab; host form: pyamg_tpu/krylov/_bicgstab.py."""
+    maxiter = int(maxiter)
+    precond = M if M is not None else (lambda v: v)
+
+    r = b - matvec(x0)
+    normr = jnp.linalg.norm(r)
+    rtol = _rtol_of(b, tol)
+    history = jnp.full(maxiter + 1, jnp.nan, dtype=b.dtype).at[0].set(normr)
+    rstar = r
+    p = r
+    rrstar = jnp.vdot(rstar, r)
+
+    def cond(state):
+        it, x, r, p, rrstar, normr, history, breakdown = state
+        return (normr >= rtol) & (it < maxiter) & (~breakdown)
+
+    def body(state):
+        it, x, r, p, rrstar, normr, history, breakdown = state
+        Mp = precond(p)
+        AMp = matvec(Mp)
+        denom = jnp.vdot(rstar, AMp)
+        bad1 = denom == 0
+        alpha = rrstar / jnp.where(bad1, 1.0, denom)
+        s = r - alpha * AMp
+        Ms = precond(s)
+        AMs = matvec(Ms)
+        denom2 = jnp.vdot(AMs, AMs)
+        bad2 = denom2 == 0
+        omega = jnp.vdot(AMs, s) / jnp.where(bad2, 1.0, denom2)
+        x = x + jnp.where(bad1 | bad2, 0.0, 1.0) * (alpha * Mp + omega * Ms)
+        r_new = s - omega * AMs
+        r = jnp.where(bad1 | bad2, r, r_new)
+        normr = jnp.linalg.norm(r)
+        history = history.at[it + 1].set(normr)
+        rrstar_new = jnp.vdot(rstar, r)
+        bad3 = (rrstar == 0) | (omega == 0)
+        beta = (rrstar_new / jnp.where(rrstar == 0, 1.0, rrstar)) * \
+               (alpha / jnp.where(omega == 0, 1.0, omega))
+        p = r + jnp.where(bad3, 0.0, beta) * (p - omega * AMp)
+        return (it + 1, x, r, p, rrstar_new, normr, history,
+                bad1 | bad2 | bad3)
+
+    state = (jnp.asarray(0), x0, r, p, rrstar, normr, history,
+             jnp.asarray(False))
+    out = lax.while_loop(cond, body, state)
+    it, x = out[0], out[1]
+    history = out[6]
+    return x, history, it
+
+
+def device_fgmres(matvec, b, x0, tol=1e-8, maxiter=100, M=None, restart=30):
+    """Right-preconditioned flexible GMRES(restart).
+
+    TPU-first orthogonalization: CGS2 (classical Gram-Schmidt with one
+    reorthogonalization) — two (m+1, n) matmuls per step instead of the
+    reference's sequential MGS dots (amg_core apply_givens analog runs as
+    a fori_loop over the rotation pairs).  Numerically CGS2 is as robust
+    as MGS.  Inner steps run as lax.fori_loop with masked updates; outer
+    restarts as lax.while_loop.  History holds the Givens true-residual
+    estimates.  Host form: pyamg_tpu/krylov/_fgmres.py.
+    """
+    maxiter = int(maxiter)
+    m = int(min(restart, maxiter))
+    max_outer = -(-maxiter // m)
+    precond = M if M is not None else (lambda v: v)
+    n = b.shape[0]
+    dtype = b.dtype
+
+    rtol = _rtol_of(b, tol)
+    r0 = b - matvec(x0)
+    normr0 = jnp.linalg.norm(r0)
+    history = jnp.full(maxiter + 1, jnp.nan, dtype=dtype).at[0].set(normr0)
+
+    def one_cycle(x, history, it):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        safe_beta = jnp.where(beta == 0, 1.0, beta)
+        V0 = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r / safe_beta)
+        Z0 = jnp.zeros((m, n), dtype=dtype)
+        H0 = jnp.zeros((m + 1, m), dtype=dtype)
+        cs0 = jnp.zeros(m, dtype=dtype)
+        sn0 = jnp.zeros(m, dtype=dtype)
+        g0 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+
+        def inner(j, carry):
+            V, Z, H, cs, sn, g, history, normr = carry
+            z = precond(V[j])
+            w = matvec(z)
+            Z = Z.at[j].set(z)
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            # CGS2: project, then re-project the remainder
+            h1 = (V @ w) * mask
+            w = w - h1 @ V
+            h2 = (V @ w) * mask
+            w = w - h2 @ V
+            hcol = h1 + h2
+            wnorm = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(wnorm)
+
+            def rot(i, h):
+                t = cs[i] * h[i] + sn[i] * h[i + 1]
+                h = h.at[i + 1].set(-sn[i] * h[i] + cs[i] * h[i + 1])
+                return h.at[i].set(t)
+
+            hcol = lax.fori_loop(0, j, rot, hcol)
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            safe = denom > 0
+            denom_s = jnp.where(safe, denom, 1.0)
+            c = jnp.where(safe, hcol[j] / denom_s, 1.0)
+            s = jnp.where(safe, hcol[j + 1] / denom_s, 0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1])
+            hcol = hcol.at[j + 1].set(0.0)
+            H = H.at[:, j].set(hcol)
+            gj1 = -s * g[j]
+            g = g.at[j + 1].set(gj1)
+            g = g.at[j].set(c * g[j])
+            normr_new = jnp.abs(gj1)
+            active = normr >= rtol
+            history = jnp.where(
+                active,
+                history.at[it + j + 1].set(normr_new),
+                history,
+            )
+            normr = jnp.where(active, normr_new, normr)
+            V = V.at[j + 1].set(
+                jnp.where(wnorm > 0, w / jnp.where(wnorm > 0, wnorm, 1.0), 0.0)
+            )
+            return (V, Z, H, cs, sn, g, history, normr)
+
+        V, Z, H, cs, sn, g, history, normr = lax.fori_loop(
+            0, m, inner, (V0, Z0, H0, cs0, sn0, g0, history, beta))
+
+        # back-substitution on the (possibly singular-tail) triangular H
+        Hm = H[:m, :m]
+        diag = jnp.diagonal(Hm)
+        Hm = Hm + jnp.diag(jnp.where(jnp.abs(diag) > 0, 0.0, 1.0))
+        g_eff = jnp.where(jnp.abs(diag) > 0, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, g_eff, lower=False)
+        x = x + y @ Z
+        return x, history, it + m, normr
+
+    def cond(state):
+        x, history, it, normr, outer = state
+        return (normr >= rtol) & (outer < max_outer)
+
+    def body(state):
+        x, history, it, normr, outer = state
+        x, history, it, normr = one_cycle(x, history, it)
+        return (x, history, it, normr, outer + 1)
+
+    state = (x0, history, jnp.asarray(0), normr0, jnp.asarray(0))
+    x, history, it, normr, outer = lax.while_loop(cond, body, state)
+    return x, history, jnp.minimum(it, maxiter)

@@ -1,0 +1,189 @@
+"""Device (jitted) smoothers — the TPU-parallel relaxation forms.
+
+TPU-native equivalents of amg_core/relaxation.h (SURVEY.md §2.4):
+
+- weighted Jacobi / block Jacobi / Richardson: pure SpMV + elementwise —
+  embarrassingly parallel, the preferred TPU smoothers;
+- **multicolor (hybrid) Gauss-Seidel**: the reference's sequential GS is
+  replaced by coloring the graph (host, Jones-Plassmann) and sweeping
+  colors in order, updating all rows of one color in parallel —
+  BASELINE.json:2 names "hybrid Gauss-Seidel" as the TPU form;
+- Chebyshev / polynomial: residual Horner, pure SpMV;
+- cf/fc Jacobi: masked Jacobi over C/F index sets (AIR smoothers).
+
+Representation: a :class:`DeviceSmoother` pytree whose *static config*
+(kind, omega, iterations, ...) is aux data and whose device arrays
+(dinv, colors, block inverses, masks) are pytree LEAVES.  This matters on
+this backend: closure-captured device arrays become HLO constants that
+the runtime re-uploads per call (~28 ms each!) — everything must flow as
+jit arguments.  Padded entries have dinv == 0 / color == -1 so they stay
+identically zero.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DeviceSmoother", "apply_smoother"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DeviceSmoother:
+    """kind + static scalars (aux) and device arrays (leaves)."""
+
+    config: Tuple            # (kind, ...static params...)
+    arrays: Tuple            # tuple of jnp arrays
+
+    def tree_flatten(self):
+        return (self.arrays,), (self.config,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (arrays,) = children
+        (config,) = aux
+        return cls(config=config, arrays=tuple(arrays))
+
+    def __call__(self, A, x, b):
+        return apply_smoother(self.config, self.arrays, A, x, b)
+
+
+def identity():
+    return DeviceSmoother(config=("identity",), arrays=())
+
+
+def jacobi(dinv, omega, iterations=1):
+    return DeviceSmoother(config=("jacobi", float(omega), int(iterations)),
+                          arrays=(dinv,))
+
+
+def richardson(omega, iterations=1):
+    return DeviceSmoother(config=("richardson", float(omega), int(iterations)),
+                          arrays=())
+
+
+def block_jacobi(Dinv, omega, iterations=1):
+    return DeviceSmoother(config=("block_jacobi", float(omega), int(iterations)),
+                          arrays=(Dinv,))
+
+
+def multicolor_gs(dinv, colors, ncolors, sweep="forward", iterations=1):
+    return DeviceSmoother(
+        config=("mcgs", int(ncolors), str(sweep), int(iterations)),
+        arrays=(dinv, colors))
+
+
+def block_multicolor_gs(Dinv, colors, ncolors, sweep="forward", iterations=1):
+    return DeviceSmoother(
+        config=("block_mcgs", int(ncolors), str(sweep), int(iterations)),
+        arrays=(Dinv, colors))
+
+
+def polynomial(coefficients, iterations=1):
+    coefficients = tuple(float(c) for c in np.asarray(coefficients))
+    return DeviceSmoother(config=("poly", coefficients, int(iterations)),
+                          arrays=())
+
+
+def masked_jacobi(dinv, masks, iters_per_mask, omega=1.0, iterations=1):
+    """Ordered masked Jacobi (device cf/fc_jacobi): masks applied in
+    order, each with its own sweep count."""
+    return DeviceSmoother(
+        config=("masked_jacobi", tuple(int(i) for i in iters_per_mask),
+                float(omega), int(iterations)),
+        arrays=(dinv,) + tuple(masks))
+
+
+def apply_smoother(config, arrays, A, x, b):
+    kind = config[0]
+
+    if kind == "identity":
+        return x
+
+    if kind == "jacobi":
+        _, omega, iterations = config
+        (dinv,) = arrays
+        for _ in range(iterations):
+            x = x + omega * (dinv * (b - (A @ x)))
+        return x
+
+    if kind == "richardson":
+        _, omega, iterations = config
+        for _ in range(iterations):
+            x = x + omega * (b - (A @ x))
+        return x
+
+    if kind == "block_jacobi":
+        _, omega, iterations = config
+        (Dinv,) = arrays
+        bs = Dinv.shape[1]
+        for _ in range(iterations):
+            r = (b - (A @ x)).reshape(-1, bs)
+            x = x + omega * jnp.einsum("nij,nj->ni", Dinv, r).reshape(-1)
+        return x
+
+    if kind == "mcgs":
+        _, ncolors, sweep, iterations = config
+        dinv, colors = arrays
+
+        def one_color(x, c):
+            r = b - (A @ x)
+            return jnp.where(colors == c, x + dinv * r, x)
+
+        for _ in range(iterations):
+            if sweep in ("forward", "symmetric"):
+                for c in range(ncolors):
+                    x = one_color(x, c)
+            if sweep in ("backward", "symmetric"):
+                for c in range(ncolors - 1, -1, -1):
+                    x = one_color(x, c)
+        return x
+
+    if kind == "block_mcgs":
+        _, ncolors, sweep, iterations = config
+        Dinv, colors = arrays
+        bs = Dinv.shape[1]
+
+        def one_color(x, c):
+            r = (b - (A @ x)).reshape(-1, bs)
+            upd = x.reshape(-1, bs) + jnp.einsum("nij,nj->ni", Dinv, r)
+            return jnp.where((colors == c)[:, None], upd,
+                             x.reshape(-1, bs)).reshape(-1)
+
+        for _ in range(iterations):
+            if sweep in ("forward", "symmetric"):
+                for c in range(ncolors):
+                    x = one_color(x, c)
+            if sweep in ("backward", "symmetric"):
+                for c in range(ncolors - 1, -1, -1):
+                    x = one_color(x, c)
+        return x
+
+    if kind == "poly":
+        _, coefficients, iterations = config
+        for _ in range(iterations):
+            r = b - (A @ x)
+            h = coefficients[0] * r
+            for c in coefficients[1:]:
+                h = c * r + (A @ h)
+            x = x + h
+        return x
+
+    if kind == "masked_jacobi":
+        _, iters_per_mask, omega, iterations = config
+        dinv = arrays[0]
+        masks = arrays[1:]
+        for _ in range(iterations):
+            for mask, k in zip(masks, iters_per_mask):
+                for _ in range(k):
+                    r = b - (A @ x)
+                    x = jnp.where(mask, x + omega * dinv * r, x)
+        return x
+
+    raise ValueError(f"unknown device smoother kind {kind!r}")

@@ -1,0 +1,191 @@
+"""Jitted multilevel solve engine.
+
+The device counterpart of pyamg_tpu.multilevel.MultilevelSolver
+(SURVEY.md §2.1 L4): cycles are unrolled over the static level count at
+trace time, the accelerated solve is one lax.while_loop — the ENTIRE
+preconditioned Krylov iteration executes on device per call.  The
+DeviceHierarchy is passed to jit as an ARGUMENT pytree (never captured:
+closure constants are re-uploaded per call on this backend).
+
+Mixed precision (SURVEY.md §7 hard part 4): run the hierarchy in f32 and
+either (a) solve fully on device in f32 (fastest; rel. residual floor
+~1e-6), (b) wrap the f32 device V-cycle as a preconditioner for the host
+f64 Krylov loop via ``aspreconditioner()`` (hits 1e-8+ with device-speed
+cycles), or (c) compile the hierarchy in f64 (TPU-emulated, slower) for
+full f64 on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse import pad_vector
+from .hierarchy import DeviceHierarchy, compile_hierarchy
+from .krylov import device_bicgstab, device_cg, device_fgmres
+
+__all__ = ["DeviceMultilevelSolver", "as_device_solver"]
+
+
+def _make_cycle(nlev, cycle):
+    """Build the trace-time cycle recursion (SURVEY.md §7 step 3)."""
+
+    def visit(h, i, x, b, kind):
+        lvl = h.levels[i]
+        x = lvl.pre(lvl.A, x, b)
+        r = b - (lvl.A @ x)
+        rc = lvl.R @ r
+        if i == nlev - 2:
+            xc = h.coarse_solve(rc)
+        else:
+            xc = jnp.zeros(h.levels[i + 1].n_pad, dtype=b.dtype)
+            if kind == "V":
+                xc = visit(h, i + 1, xc, rc, "V")
+            elif kind == "W":
+                xc = visit(h, i + 1, xc, rc, "W")
+                xc = visit(h, i + 1, xc, rc, "W")
+            elif kind == "F":
+                xc = visit(h, i + 1, xc, rc, "F")
+                xc = visit(h, i + 1, xc, rc, "V")
+            else:
+                raise ValueError(f"unsupported device cycle {kind}")
+        x = x + (lvl.P @ xc)
+        x = lvl.post(lvl.A, x, b)
+        return x
+
+    def one_cycle(h, x, b):
+        return visit(h, 0, x, b, cycle)
+
+    return one_cycle
+
+
+class DeviceMultilevelSolver:
+    """Solve engine over a compiled DeviceHierarchy."""
+
+    def __init__(self, hierarchy: DeviceHierarchy):
+        self.hierarchy = hierarchy
+        self._jit_cache = {}
+
+    def _get_compiled(self, cycle, accel, maxiter, restart):
+        key = (cycle, accel, maxiter, restart,
+               jax.tree_util.tree_structure(self.hierarchy))
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        nlev = len(self.hierarchy.levels)
+        one_cycle = _make_cycle(nlev, cycle)
+
+        if accel is None:
+            def run(h, b, x0, tol):
+                A0 = h.levels[0].A
+                rtol = tol * jnp.where(jnp.linalg.norm(b) == 0, 1.0,
+                                       jnp.linalg.norm(b))
+                r = b - (A0 @ x0)
+                normr = jnp.linalg.norm(r)
+                history = jnp.full(maxiter + 1, jnp.nan,
+                                   dtype=b.dtype).at[0].set(normr)
+
+                def cond(state):
+                    it, x, normr, history = state
+                    return (normr >= rtol) & (it < maxiter)
+
+                def body(state):
+                    it, x, normr, history = state
+                    x = one_cycle(h, x, b)
+                    normr = jnp.linalg.norm(b - (A0 @ x))
+                    history = history.at[it + 1].set(normr)
+                    return (it + 1, x, normr, history)
+
+                it, x, normr, history = jax.lax.while_loop(
+                    cond, body, (jnp.asarray(0), x0, normr, history))
+                return x, history, it
+        elif accel == "cg":
+            def run(h, b, x0, tol):
+                A0 = h.levels[0].A
+                return device_cg(
+                    lambda v: A0 @ v, b, x0, tol=tol, maxiter=maxiter,
+                    M=lambda r: one_cycle(h, jnp.zeros_like(r), r))
+        elif accel == "bicgstab":
+            def run(h, b, x0, tol):
+                A0 = h.levels[0].A
+                return device_bicgstab(
+                    lambda v: A0 @ v, b, x0, tol=tol, maxiter=maxiter,
+                    M=lambda r: one_cycle(h, jnp.zeros_like(r), r))
+        elif accel in ("gmres", "fgmres"):
+            def run(h, b, x0, tol):
+                A0 = h.levels[0].A
+                return device_fgmres(
+                    lambda v: A0 @ v, b, x0, tol=tol, maxiter=maxiter,
+                    M=lambda r: one_cycle(h, jnp.zeros_like(r), r),
+                    restart=restart)
+        else:
+            raise ValueError(f"unsupported device accelerator '{accel}'")
+
+        fn = jax.jit(run)
+        self._jit_cache[key] = fn
+        return fn
+
+    # -- public API (mirrors host MultilevelSolver.solve) --
+
+    def solve(self, b, x0=None, tol=1e-8, maxiter=100, cycle="V",
+              accel=None, residuals=None, return_info=False, restart=30):
+        h = self.hierarchy
+        n = h.levels[0].n
+        n_pad = h.levels[0].n_pad
+        dtype = h.dtype
+        b_dev = pad_vector(jnp.asarray(np.asarray(b).ravel(), dtype=dtype),
+                           n_pad)
+        if x0 is None:
+            x0_dev = jnp.zeros(n_pad, dtype=dtype)
+        else:
+            x0_dev = pad_vector(
+                jnp.asarray(np.asarray(x0).ravel(), dtype=dtype), n_pad)
+        fn = self._get_compiled(str(cycle).upper(), accel, int(maxiter),
+                                int(restart))
+        x, history, it = fn(h, b_dev, x0_dev, jnp.asarray(tol, dtype=dtype))
+        x = np.asarray(x)[:n]
+        hist = np.asarray(history)
+        hist = hist[~np.isnan(hist)]
+        if residuals is not None:
+            residuals[:] = list(hist)
+        if return_info:
+            converged = len(hist) >= 1 and (
+                hist[-1] < tol * max(np.linalg.norm(np.asarray(b)), 1e-300)
+            )
+            return x, (0 if converged else int(it))
+        return x
+
+    def cycle_operator(self, cycle="V"):
+        """Jitted one-cycle application: r (padded) -> M r (padded)."""
+        one_cycle = _make_cycle(len(self.hierarchy.levels),
+                                str(cycle).upper())
+        fn = jax.jit(lambda h, r: one_cycle(h, jnp.zeros_like(r), r))
+        return lambda r: fn(self.hierarchy, r)
+
+    def aspreconditioner(self, cycle="V"):
+        """Host-facing LinearOperator applying the jitted device cycle.
+
+        This is the mixed-precision bridge: a host f64 Krylov loop
+        (pyamg_tpu.krylov) preconditioned by the f32 device V-cycle.
+        """
+        from scipy.sparse.linalg import LinearOperator
+
+        h = self.hierarchy
+        n = h.levels[0].n
+        n_pad = h.levels[0].n_pad
+        cyc = self.cycle_operator(cycle)
+
+        def matvec(r):
+            r_dev = pad_vector(jnp.asarray(np.asarray(r).ravel(),
+                                           dtype=h.dtype), n_pad)
+            return np.asarray(cyc(r_dev))[:n].astype(np.asarray(r).dtype)
+
+        return LinearOperator((n, n), matvec=matvec, dtype=np.float64)
+
+
+def as_device_solver(ml, dtype=jnp.float32, row_pad=None):
+    """Compile a host MultilevelSolver into a DeviceMultilevelSolver."""
+    kwargs = {} if row_pad is None else {"row_pad": row_pad}
+    return DeviceMultilevelSolver(compile_hierarchy(ml, dtype=dtype, **kwargs))

@@ -1,0 +1,109 @@
+"""Row partitioning of device hierarchies over a mesh.
+
+Baseline distribution strategy (GSPMD; SURVEY.md §2.5 "TP analog"):
+
+- A / P ELL rows are sharded over mesh axis 'x' (each device owns a
+  contiguous block of rows == a contiguous slab of grid points);
+- R rows (coarse points) are likewise sharded;
+- vectors are sharded P('x'); gathers of neighbor entries in SpMV lower
+  to XLA collectives automatically; Krylov dot products partition to
+  psum.
+
+The explicitly-overlapped halo-exchange path (shard_map +
+make_async_remote_copy) lives in :mod:`pyamg_tpu.parallel.dist_spmv`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sparse import DenseOperator, DIAMatrix, ELLMatrix
+
+__all__ = ["make_solver_mesh", "shard_hierarchy", "shard_vector"]
+
+
+def make_solver_mesh(n_devices=None, axis="x"):
+    """1-D device mesh over the first n_devices devices.
+
+    Axis type is Auto (classic GSPMD propagation): SpMV's neighbor gather
+    has data-dependent cross-shard reads, which the explicit
+    sharding-in-types mode refuses to resolve; under Auto the partitioner
+    inserts the needed all-gather itself.  The hand-overlapped halo path
+    (shard_map + remote DMA) bypasses GSPMD entirely.
+    """
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    return jax.make_mesh((n_devices,), (axis,),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+
+
+def shard_vector(mesh, v, axis="x"):
+    return jax.device_put(v, NamedSharding(mesh, P(axis)))
+
+
+def _shard_op(mesh, E, axis="x"):
+    """Row-shard a device operator (format-aware).
+
+    DIA shards its row dimension (axis 1 of data); the rolled SpMV then
+    lowers to collective-permutes of the boundary slices — halo exchange
+    inserted by the partitioner.  ELL/Dense shard rows (axis 0).
+    """
+    if E is None:
+        return None
+    if isinstance(E, DIAMatrix):
+        rows = NamedSharding(mesh, P(None, axis))
+        return DIAMatrix(data=jax.device_put(E.data, rows),
+                         offsets=E.offsets, shape=E.shape, nnz=E.nnz)
+    if isinstance(E, DenseOperator):
+        rows = NamedSharding(mesh, P(axis, None))
+        return DenseOperator(data=jax.device_put(E.data, rows),
+                             shape=E.shape, nnz=E.nnz)
+    rows = NamedSharding(mesh, P(axis, None))
+    return ELLMatrix(
+        data=jax.device_put(E.data, rows),
+        indices=jax.device_put(E.indices, rows),
+        shape=E.shape,
+        nnz=E.nnz,
+    )
+
+
+def shard_hierarchy(hierarchy, mesh, axis="x"):
+    """Place a DeviceHierarchy's operators row-sharded on ``mesh``.
+
+    Levels whose padded size is not divisible by the mesh size stay
+    replicated (deep-coarse agglomeration: tiny levels live on one
+    device — the coarse-level agglomeration strategy of BASELINE.json:5).
+    The coarse dense inverse is replicated.
+
+    Note: compile the hierarchy with ``row_pad = 8 * mesh_size`` so the
+    fine levels divide evenly.
+    """
+    from ..engine.hierarchy import DeviceHierarchy, DeviceLevel
+
+    ndev = mesh.devices.size
+    new_levels = []
+    for lvl in hierarchy.levels:
+        divisible = lvl.n_pad % ndev == 0
+        if divisible:
+            A = _shard_op(mesh, lvl.A, axis)
+            Pop = _shard_op(mesh, lvl.P, axis)
+            # R rows live on the coarse level
+            if lvl.R is not None and lvl.R.n_pad % ndev == 0:
+                R = _shard_op(mesh, lvl.R, axis)
+            else:
+                R = lvl.R
+        else:
+            A, Pop, R = lvl.A, lvl.P, lvl.R
+        new_levels.append(DeviceLevel(
+            A=A, P=Pop, R=R, pre=lvl.pre, post=lvl.post,
+            n=lvl.n, n_pad=lvl.n_pad))
+    return DeviceHierarchy(
+        levels=new_levels,
+        coarse_inv=jax.device_put(
+            hierarchy.coarse_inv, NamedSharding(mesh, P(None, None))),
+        nc=hierarchy.nc, nc_pad=hierarchy.nc_pad, dtype=hierarchy.dtype,
+    )

@@ -1,0 +1,171 @@
+"""DIA (diagonal) device format — the TPU-preferred SpMV layout.
+
+Measured on this TPU (v5e via axon): XLA's general gather runs at
+~7.7 ns/element, which caps gather-based ELL SpMV at ~0.13 Gnnz/s —
+three orders of magnitude off HBM speed-of-light.  AMG operators on
+lexicographically-ordered grids are *banded*: storing them by diagonal
+turns SpMV into a sum of rolled elementwise multiplies
+
+    y = sum_d  data[d, :] * roll(x, -offset[d])
+
+with zero gathers: roll with a static shift compiles to two slices + a
+concat, the whole sum fuses into one VPU pass, and throughput is bounded
+by HBM bandwidth over the DIA data (ndiags * n * 4 bytes).  DIA beats
+gather whenever fill = nnz/(ndiags*n) > ~0.001 — i.e. essentially always
+for reordered AMG operators.
+
+This replaces the reference's CSR SpMV (scipy csr_matvec, SURVEY.md §2.4
+L0) on the TPU hot path; cf. BASELINE.json:5 "CSR/BSR kernel layer ->
+Pallas": the Pallas fused variants build on this same layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from .formats import pad_to
+
+__all__ = ["DIAMatrix", "dia_from_scipy", "DenseOperator", "dense_from_scipy"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DIAMatrix:
+    """Diagonal-stored sparse matrix over padded vectors.
+
+    data[d, i] = A[i, i + offsets[d]] (zero where no entry / out of
+    range), so padded rows and wrap-around positions contribute exactly
+    zero — vectors stay clean without masks.
+    """
+
+    data: jnp.ndarray            # (ndiags, n_pad)
+    offsets: Tuple[int, ...]     # static
+    shape: Tuple[int, int]       # logical
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (data,) = children
+        offsets, shape, nnz = aux
+        return cls(data=data, offsets=offsets, shape=shape, nnz=nnz)
+
+    @property
+    def n_pad(self):
+        return self.data.shape[1]
+
+    @property
+    def ndiags(self):
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def matvec(self, x):
+        y = self.data[0] * jnp.roll(x, -self.offsets[0])
+        for d in range(1, len(self.offsets)):
+            y = y + self.data[d] * jnp.roll(x, -self.offsets[d])
+        return y
+
+    def matmat(self, X):
+        Y = self.data[0][:, None] * jnp.roll(X, -self.offsets[0], axis=0)
+        for d in range(1, len(self.offsets)):
+            Y = Y + self.data[d][:, None] * jnp.roll(X, -self.offsets[d], axis=0)
+        return Y
+
+    def __matmul__(self, x):
+        if x.ndim == 1:
+            return self.matvec(x)
+        return self.matmat(x)
+
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros(self.n_pad, dtype=self.dtype)
+
+
+def dia_from_scipy(A, dtype=jnp.float32, row_pad=8, max_diags=None):
+    """Convert a square scipy sparse matrix to DIAMatrix.
+
+    Returns None if the matrix has more distinct diagonals than
+    ``max_diags`` (caller falls back to another format).
+    """
+    A = sp.coo_matrix(A)
+    n, m = A.shape
+    if n != m:
+        raise ValueError("DIA requires a square matrix")
+    n_pad = pad_to(max(n, 1), row_pad)
+    offs_all = A.col - A.row
+    offsets = np.unique(offs_all)
+    if max_diags is not None and len(offsets) > max_diags:
+        return None
+    d_index = np.searchsorted(offsets, offs_all)
+    data = np.zeros((len(offsets), n_pad), dtype=np.float64)
+    data[d_index, A.row] = A.data if data.size else 0
+    return DIAMatrix(
+        data=jnp.asarray(data, dtype=dtype),
+        offsets=tuple(int(o) for o in offsets),
+        shape=(n, m),
+        nnz=int(A.nnz),
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DenseOperator:
+    """Dense device operator for small (coarse) levels: MXU matvec."""
+
+    data: jnp.ndarray            # (n_pad, m_pad)
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.data,), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (data,) = children
+        shape, nnz = aux
+        return cls(data=data, shape=shape, nnz=nnz)
+
+    @property
+    def n_pad(self):
+        return self.data.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def matvec(self, x):
+        return jnp.dot(self.data, x, preferred_element_type=self.data.dtype)
+
+    def __matmul__(self, x):
+        if x.ndim == 1:
+            return self.matvec(x)
+        return jnp.dot(self.data, x, preferred_element_type=self.data.dtype)
+
+    def diagonal(self):
+        return jnp.diagonal(self.data) if self.data.shape[0] == self.data.shape[1] \
+            else jnp.zeros(self.n_pad, dtype=self.dtype)
+
+
+def dense_from_scipy(A, dtype=jnp.float32, row_pad=8):
+    """Convert scipy sparse to a padded DenseOperator."""
+    A = sp.csr_matrix(A)
+    n, m = A.shape
+    n_pad = pad_to(max(n, 1), row_pad)
+    m_pad = pad_to(max(m, 1), row_pad)
+    data = np.zeros((n_pad, m_pad), dtype=np.float64)
+    data[:n, :m] = A.toarray()
+    return DenseOperator(
+        data=jnp.asarray(data, dtype=dtype), shape=(n, m), nnz=int(A.nnz))

@@ -1,16 +1,26 @@
 """Test configuration.
 
 JAX-dependent tests run on a virtual 8-device CPU mesh (SURVEY.md §4's
-multi-host test plan): env vars must be set before jax initializes.
+multi-host test plan).  NOTE: this environment preloads jax at interpreter
+startup (PYTHONPATH site hook) with JAX_PLATFORMS=axon, so env vars alone
+are too late — we must update jax.config directly, before any backend
+initializes.  The real-TPU path is exercised by bench.py, not tests.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
+import jax  # noqa: E402  (already imported by the site hook anyway)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

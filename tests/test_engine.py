@@ -1,0 +1,205 @@
+"""Device engine: ELL formats, jitted cycles, device Krylov, sharding.
+
+Runs on the virtual 8-device CPU mesh (conftest sets JAX_PLATFORMS=cpu and
+xla_force_host_platform_device_count=8) — SURVEY.md §4's multi-host test
+strategy.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from pyamg_tpu.aggregation import smoothed_aggregation_solver
+from pyamg_tpu.engine import (
+    DeviceMultilevelSolver,
+    as_device_solver,
+    compile_hierarchy,
+)
+from pyamg_tpu.gallery import linear_elasticity, poisson
+from pyamg_tpu.sparse import (
+    bsr_ell_from_scipy,
+    ell_from_scipy,
+    ell_to_scipy,
+    pad_vector,
+)
+
+
+def test_ell_roundtrip_and_matvec():
+    rng = np.random.default_rng(0)
+    A = sp.random(37, 23, density=0.2, random_state=7, format="csr")
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    x = rng.random(23)
+    x_pad = pad_vector(jnp.asarray(x), 24)
+    y = np.asarray(E @ x_pad)[:37]
+    np.testing.assert_allclose(y, A @ x, atol=1e-12)
+    A2 = ell_to_scipy(E)
+    assert abs(A2 - A).max() < 1e-14
+
+
+def test_ell_matmat():
+    A = poisson((10, 10), format="csr")
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    X = np.random.default_rng(1).random((100, 3))
+    X_pad = pad_vector(jnp.asarray(X), E.n_pad)
+    Y = np.asarray(E @ X_pad)[:100]
+    np.testing.assert_allclose(Y, A @ X, atol=1e-12)
+
+
+def test_block_ell_matvec():
+    A, _ = linear_elasticity((5, 5))
+    E = bsr_ell_from_scipy(A, dtype=jnp.float64)
+    n = A.shape[0]
+    x = np.random.default_rng(2).random(n)
+    nb_pad = E.nb_pad
+    x_pad = pad_vector(jnp.asarray(x), nb_pad * 2)
+    y = np.asarray(E @ x_pad)[:n]
+    np.testing.assert_allclose(y, A @ x, rtol=1e-10)
+
+
+def test_ell_diagonal():
+    A = poisson((8, 8), format="csr")
+    E = ell_from_scipy(A, dtype=jnp.float64)
+    d = np.asarray(E.diagonal())[:64]
+    np.testing.assert_allclose(d, A.diagonal(), atol=1e-14)
+
+
+@pytest.fixture(scope="module")
+def device_solver():
+    A = poisson((32, 32), format="csr")
+    ml = smoothed_aggregation_solver(A, max_coarse=10)
+    dml = as_device_solver(ml, dtype=jnp.float64)
+    b = np.random.default_rng(3).random(A.shape[0])
+    return A, ml, dml, b
+
+
+def test_device_vcycle_matches_host(device_solver):
+    """f64 device V-cycle == host V-cycle up to multicolor-GS reordering:
+    same convergence behavior (SURVEY.md §7 hard part 3)."""
+    A, ml, dml, b = device_solver
+    res_d = []
+    dml.solve(b, tol=1e-10, maxiter=40, residuals=res_d)
+    res_h = []
+    ml.solve(b, tol=1e-10, maxiter=40, residuals=res_h)
+    fac_d = (res_d[-1] / res_d[0]) ** (1.0 / (len(res_d) - 1))
+    fac_h = (res_h[-1] / res_h[0]) ** (1.0 / (len(res_h) - 1))
+    assert fac_d < 0.35, f"device V-cycle factor {fac_d}"
+    assert fac_d < max(2.5 * fac_h, 0.3), (fac_d, fac_h)
+
+
+def test_device_jacobi_hierarchy_matches_host_exactly():
+    """With Jacobi smoothing (order-free) the device f64 cycle must match
+    the host cycle to rounding."""
+    A = poisson((16, 16), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("jacobi", {"omega": 1.0}),
+        postsmoother=("jacobi", {"omega": 1.0}), max_coarse=10)
+    dml = as_device_solver(ml, dtype=jnp.float64)
+    b = np.random.default_rng(4).random(A.shape[0])
+    x_host = ml.solve(b, maxiter=1, tol=1e-300)
+    x_dev = dml.solve(b, maxiter=1, tol=1e-300)
+    np.testing.assert_allclose(x_dev, x_host, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("accel", [None, "cg", "bicgstab", "gmres"])
+def test_device_accels(device_solver, accel):
+    A, ml, dml, b = device_solver
+    res = []
+    x = dml.solve(b, tol=1e-8, maxiter=60, accel=accel, residuals=res,
+                  restart=20)
+    relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert relres < 1e-6, f"{accel}: {relres}"
+
+
+@pytest.mark.parametrize("cycle", ["V", "W", "F"])
+def test_device_cycles(device_solver, cycle):
+    A, ml, dml, b = device_solver
+    res = []
+    x = dml.solve(b, tol=1e-8, maxiter=40, cycle=cycle, residuals=res)
+    assert res[-1] / res[0] < 1e-7, f"cycle {cycle}"
+
+
+def test_mixed_precision_path(device_solver):
+    """Host f64 CG + f32 device cycle preconditioner reaches 1e-10."""
+    A, ml, dml, b = device_solver
+    f32 = as_device_solver(ml, dtype=jnp.float32)
+    from pyamg_tpu import krylov
+
+    M = f32.aspreconditioner()
+    res = []
+    x, info = krylov.cg(A, b, tol=1e-10, maxiter=100, M=M, residuals=res)
+    assert info == 0
+    assert res[-1] / res[0] < 1e-9
+    assert len(res) < 30
+
+
+def test_device_elasticity_block():
+    A, B = linear_elasticity((8, 8))
+    ml = smoothed_aggregation_solver(A, B=B, max_coarse=10)
+    dml = as_device_solver(ml, dtype=jnp.float64)
+    b = np.random.default_rng(5).random(A.shape[0])
+    res = []
+    x = dml.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res)
+    relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert relres < 1e-6
+
+
+def test_sharded_hierarchy_runs():
+    """Row-sharded hierarchy over the 8-device CPU mesh executes and
+    converges (multi-chip dry-run path)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyamg_tpu.parallel import make_solver_mesh, shard_hierarchy
+
+    ndev = 8
+    mesh = make_solver_mesh(ndev)
+    A = poisson((32, 32), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("jacobi", {"omega": 4.0 / 3.0}),
+        postsmoother=("jacobi", {"omega": 4.0 / 3.0}), max_coarse=10)
+    hier = compile_hierarchy(ml, dtype=jnp.float32, row_pad=8 * ndev)
+    dml = DeviceMultilevelSolver(shard_hierarchy(hier, mesh))
+    n_pad = dml.hierarchy.levels[0].n_pad
+    sharding = NamedSharding(mesh, P("x"))
+    b_np = np.random.default_rng(6).random(A.shape[0])
+    b = jax.device_put(
+        pad_vector(jnp.asarray(b_np, dtype=jnp.float32), n_pad), sharding)
+    x0 = jax.device_put(jnp.zeros(n_pad, dtype=jnp.float32), sharding)
+    run = dml._get_compiled("V", "cg", 20, 30)
+    x, history, it = run(dml.hierarchy, b, x0, jnp.asarray(1e-5, jnp.float32))
+    x = np.asarray(x)[: A.shape[0]]
+    relres = np.linalg.norm(b_np - A @ x) / np.linalg.norm(b_np)
+    assert relres < 1e-3, relres
+
+
+def test_sharded_collectives_in_hlo():
+    """Pin communication behavior: compiled sharded SpMV contains
+    collective/partition ops (SNIPPETS.md HLO-pattern idiom)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyamg_tpu.parallel import make_solver_mesh
+
+    mesh = make_solver_mesh(8)
+    A = poisson((16, 16), format="csr")
+    E = ell_from_scipy(A, dtype=jnp.float32, row_pad=64)
+    rows = NamedSharding(mesh, P("x", None))
+    vec = NamedSharding(mesh, P("x"))
+    data = jax.device_put(E.data, rows)
+    idx = jax.device_put(E.indices, rows)
+    x = jax.device_put(jnp.ones(E.n_pad, dtype=jnp.float32), vec)
+
+    def spmv(data, idx, x):
+        return jnp.sum(data * jnp.take(x, idx, axis=0), axis=1)
+
+    lowered = jax.jit(spmv).lower(data, idx, x).compile()
+    hlo = lowered.as_text()
+    assert re.search(r"(all-gather|all-reduce|collective-permute|dynamic-slice)",
+                     hlo), "no collectives in sharded SpMV HLO"
