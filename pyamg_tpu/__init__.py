@@ -18,6 +18,8 @@ Public API mirrors the reference's top-level re-exports
 
 from . import gallery
 from .aggregation import smoothed_aggregation_solver
+from .classical import air_solver, ruge_stuben_solver
+from .gallery import demo
 from .multilevel import MultilevelSolver, coarse_grid_solver, multilevel_solver
 from .strength import (
     classical_strength_of_connection,
@@ -29,7 +31,10 @@ __version__ = "0.1.0"
 __all__ = [
     "__version__",
     "gallery",
+    "demo",
     "smoothed_aggregation_solver",
+    "ruge_stuben_solver",
+    "air_solver",
     "MultilevelSolver",
     "multilevel_solver",
     "coarse_grid_solver",
