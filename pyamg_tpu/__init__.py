@@ -16,8 +16,14 @@ Public API mirrors the reference's top-level re-exports
 ([R] pyamg/__init__.py, SURVEY.md §1).
 """
 
-from . import gallery
-from .aggregation import smoothed_aggregation_solver
+from . import blackbox, gallery
+from .aggregation import (
+    adaptive_sa_solver,
+    pairwise_solver,
+    rootnode_solver,
+    smoothed_aggregation_solver,
+)
+from .blackbox import solve, solver, solver_configuration
 from .classical import air_solver, ruge_stuben_solver
 from .gallery import demo
 from .multilevel import MultilevelSolver, coarse_grid_solver, multilevel_solver
@@ -33,8 +39,15 @@ __all__ = [
     "gallery",
     "demo",
     "smoothed_aggregation_solver",
+    "rootnode_solver",
+    "adaptive_sa_solver",
+    "pairwise_solver",
     "ruge_stuben_solver",
     "air_solver",
+    "blackbox",
+    "solve",
+    "solver",
+    "solver_configuration",
     "MultilevelSolver",
     "multilevel_solver",
     "coarse_grid_solver",

@@ -7,7 +7,10 @@ from .aggregate import (
     pairwise_aggregation,
     standard_aggregation,
 )
+from .adaptive import adaptive_sa_solver
 from .aggregation import smoothed_aggregation_solver
+from .pairwise import pairwise_solver
+from .rootnode import rootnode_solver
 from .smooth import (
     energy_prolongation_smoother,
     jacobi_prolongation_smoother,
@@ -21,6 +24,9 @@ __all__ = [
     "naive_aggregation",
     "pairwise_aggregation",
     "standard_aggregation",
+    "adaptive_sa_solver",
+    "pairwise_solver",
+    "rootnode_solver",
     "smoothed_aggregation_solver",
     "energy_prolongation_smoother",
     "jacobi_prolongation_smoother",

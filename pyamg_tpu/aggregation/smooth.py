@@ -173,9 +173,15 @@ def energy_prolongation_smoother(
     if B.ndim == 1:
         B = B.reshape(-1, 1)
 
-    # sparsity pattern: Atilde^degree @ T  (pattern only)
+    # sparsity pattern: Atilde^degree @ T  (pattern only); expand a
+    # node-level strength graph to dof level if A is blocked
     pattern = sp.csr_matrix(T)
     Ap = sp.csr_matrix(Atilde)
+    if Ap.shape[0] != Acsr.shape[0]:
+        from ..util.utils import unamal
+
+        bs = Acsr.shape[0] // Ap.shape[0]
+        Ap = sp.csr_matrix(unamal(Ap, bs, bs))
     for _ in range(int(degree)):
         pattern = sp.csr_matrix(Ap @ pattern)
     if prefilter:

@@ -408,21 +408,24 @@ def get_Cpt_params(A, Cnodes, AggOp, T):
     bs = blocksize(A)
     Cnodes = np.asarray(Cnodes, dtype=np.int64)
     n = A.shape[0]
-    Cpts = (bs * Cnodes[:, None] + np.arange(bs)[None, :]).ravel()
+    ncoarse = T.shape[1]
+    n_agg = AggOp.shape[1]
+    if ncoarse % n_agg != 0:
+        raise ValueError("T column count must be a multiple of #aggregates")
+    k = ncoarse // n_agg          # candidates per aggregate
+    if k > bs:
+        raise ValueError(
+            f"rootnode requires #candidates ({k}) <= blocksize ({bs}); "
+            "truncate B first")
+    # each aggregate's root node owns its k coarse dofs (first k dofs of
+    # the root node's block)
+    Cpts = (bs * Cnodes[:, None] + np.arange(k)[None, :]).ravel()
     mask = np.zeros(n, dtype=bool)
     mask[Cpts] = True
     Fpts = np.flatnonzero(~mask)
-    ncoarse = T.shape[1]
 
-    if len(Cpts) != ncoarse:
-        raise ValueError("number of C-point dofs must equal coarse size")
-
-    # injection: column j has a 1 at row Cpts[perm(j)] — order columns by the
-    # coarse dof owned by each aggregate.  T's coarse dofs are ordered
-    # aggregate-major, matching sorted Cnodes ordering of aggregates.
-    order = np.argsort(Cnodes, kind="stable")
-    cols = (np.arange(len(Cnodes))[:, None] * bs + np.arange(bs)[None, :]).ravel()
-    rows = (bs * Cnodes[:, None] + np.arange(bs)[None, :]).ravel()
+    cols = (np.arange(n_agg)[:, None] * k + np.arange(k)[None, :]).ravel()
+    rows = (bs * Cnodes[:, None] + np.arange(k)[None, :]).ravel()
     P_I = sp.csr_matrix(
         (np.ones(len(rows), dtype=T.dtype), (rows, cols)), shape=(n, ncoarse)
     )
@@ -432,7 +435,6 @@ def get_Cpt_params(A, Cnodes, AggOp, T):
     I_C = sp.csr_matrix(
         (np.ones(len(Cpts), dtype=T.dtype), (Cpts, Cpts)), shape=(n, n)
     )
-    del order
     return {"P_I": P_I, "I_F": I_F, "I_C": I_C, "Cpts": Cpts, "Fpts": Fpts}
 
 
@@ -445,17 +447,34 @@ def scale_T(T, P_I, I_F):
     """
     T = sp.csr_matrix(T)
     ncoarse = T.shape[1]
-    Tc = (P_I.T @ T).tocsc()  # (ncoarse, ncoarse), block diagonal
-    # invert block-diagonally: detect blocks by column groups of size k where
-    # k = number of candidates; Tc is block diagonal with small blocks.
-    Tcd = Tc.toarray()
-    Tcinv = np.linalg.pinv(Tcd) if ncoarse <= 2000 else None
-    if Tcinv is None:
-        Tcinv = sp.linalg.inv(sp.csc_matrix(Tcd))
-        scaled = (I_F @ T) @ Tcinv
-    else:
-        scaled = (I_F @ T) @ sp.csr_matrix(Tcinv)
-    out = (scaled + P_I).tocsr()
+    Tc = sp.coo_matrix(P_I.T @ T)  # (ncoarse, ncoarse), block diagonal
+    # Tc is block diagonal with k x k blocks (k = candidates/aggregate):
+    # invert batched (amg_core pinv_array analog)
+    if Tc.nnz == 0:
+        return T
+    # infer k: largest block extent where row//k == col//k for all entries
+    k = 1
+    while k < 8 and not (Tc.row // k == Tc.col // k).all():
+        k += 1
+    if not (Tc.row // k == Tc.col // k).all():
+        # irregular structure: fall back to sparse triangular-ish solve
+        import scipy.sparse.linalg as spla
+
+        Tcinv = sp.csr_matrix(np.linalg.pinv(Tc.toarray()))
+        out = ((I_F @ T) @ Tcinv + P_I).tocsr()
+        out.eliminate_zeros()
+        return out
+    nb = ncoarse // k
+    blocks = np.zeros((nb, k, k), dtype=T.dtype)
+    blocks[Tc.row // k, Tc.row % k, Tc.col % k] = Tc.data
+    pinv_array(blocks)
+    rows = (np.arange(nb)[:, None, None] * k + np.arange(k)[None, :, None])
+    cols = (np.arange(nb)[:, None, None] * k + np.arange(k)[None, None, :])
+    rows = np.broadcast_to(rows, (nb, k, k)).ravel()
+    cols = np.broadcast_to(cols, (nb, k, k)).ravel()
+    Tcinv = sp.csr_matrix((blocks.ravel(), (rows, cols)),
+                          shape=(ncoarse, ncoarse))
+    out = ((I_F @ T) @ Tcinv + P_I).tocsr()
     out.eliminate_zeros()
     return out
 
