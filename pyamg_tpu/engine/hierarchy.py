@@ -72,25 +72,32 @@ class DeviceLevel:
 
 @jax.tree_util.register_pytree_node_class
 class DeviceHierarchy:
-    """Pytree of DeviceLevels + dense coarse inverse."""
+    """Pytree of DeviceLevels + dense coarse inverse.
 
-    def __init__(self, levels, coarse_inv, nc, nc_pad, dtype):
+    ``A64`` (optional) holds the finest operator in f64 for the
+    full-device mixed-precision outer Krylov loop (f64 matvec + dots,
+    f32 V-cycle preconditioner) — the SURVEY.md §7 "f32 V-cycle + f64
+    Krylov outer" strategy executed entirely on device.
+    """
+
+    def __init__(self, levels, coarse_inv, nc, nc_pad, dtype, A64=None):
         self.levels = list(levels)
         self.coarse_inv = coarse_inv    # (nc_pad, nc_pad) device array
         self.nc = nc
         self.nc_pad = nc_pad
         self.dtype = dtype
+        self.A64 = A64
 
     def tree_flatten(self):
-        return (tuple(self.levels), self.coarse_inv), (
+        return (tuple(self.levels), self.coarse_inv, self.A64), (
             self.nc, self.nc_pad, str(jnp.dtype(self.dtype)))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        levels, coarse_inv = children
+        levels, coarse_inv, A64 = children
         nc, nc_pad, dtype = aux
         return cls(levels=list(levels), coarse_inv=coarse_inv, nc=nc,
-                   nc_pad=nc_pad, dtype=jnp.dtype(dtype))
+                   nc_pad=nc_pad, dtype=jnp.dtype(dtype), A64=A64)
 
     def coarse_solve(self, bc):
         # coarse_inv is stored padded (nc_pad, nc_pad) with zero rows/cols
@@ -254,13 +261,17 @@ def _compile_smoother(lvl, spec, dtype, n_pad):
         iterations=iterations)
 
 
-def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD):
+def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
+                      mixed_precision=False):
     """Convert a host MultilevelSolver into a DeviceHierarchy.
 
     All level operators become padded DIA/dense/windowed device pytrees in
     ``dtype``; smoother specs resolve to DeviceSmoother pytrees; the
-    coarsest level gets a dense pseudo-inverse.  The returned object is
-    consumed by DeviceMultilevelSolver (pyamg_tpu.engine.solver).
+    coarsest level gets a dense pseudo-inverse.  With
+    ``mixed_precision=True`` the finest operator is additionally stored in
+    f64 for the on-device mixed-precision Krylov loop (requires
+    jax_enable_x64).  The returned object is consumed by
+    DeviceMultilevelSolver (pyamg_tpu.engine.solver).
     """
     host_levels = ml.levels
     levels = []
@@ -289,8 +300,13 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD):
     ident = device_relaxation.identity()
     levels.append(DeviceLevel(A=Ac_dev, P=None, R=None, pre=ident,
                               post=ident, n=nc, n_pad=nc_pad))
+    A64 = None
+    if mixed_precision:
+        jax.config.update("jax_enable_x64", True)
+        A64 = select_operator(sp.csr_matrix(host_levels[0].A),
+                              dtype=jnp.float64, row_pad=row_pad)
     return DeviceHierarchy(
         levels=levels,
         coarse_inv=jnp.asarray(coarse_inv, dtype=dtype),
-        nc=nc, nc_pad=nc_pad, dtype=dtype,
+        nc=nc, nc_pad=nc_pad, dtype=dtype, A64=A64,
     )

@@ -68,21 +68,37 @@ class DeviceMultilevelSolver:
         self.hierarchy = hierarchy
         self._jit_cache = {}
 
-    def _get_compiled(self, cycle, accel, maxiter, restart):
-        key = (cycle, accel, maxiter, restart,
+    def _get_compiled(self, cycle, accel, maxiter, restart,
+                      precision="native"):
+        key = (cycle, accel, maxiter, restart, precision,
                jax.tree_util.tree_structure(self.hierarchy))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         nlev = len(self.hierarchy.levels)
         one_cycle = _make_cycle(nlev, cycle)
+        mixed = precision == "mixed"
+        if mixed and self.hierarchy.A64 is None:
+            raise ValueError("mixed precision requires a hierarchy compiled "
+                             "with mixed_precision=True")
+
+        def mk_ops(h, cycle_dtype):
+            if mixed:
+                matvec = lambda v: h.A64 @ v
+                precond = lambda r: one_cycle(
+                    h, jnp.zeros(r.shape, dtype=cycle_dtype),
+                    r.astype(cycle_dtype)).astype(r.dtype)
+            else:
+                matvec = lambda v: h.levels[0].A @ v
+                precond = lambda r: one_cycle(h, jnp.zeros_like(r), r)
+            return matvec, precond
 
         if accel is None:
             def run(h, b, x0, tol):
-                A0 = h.levels[0].A
+                matvec, _ = mk_ops(h, h.dtype)
                 rtol = tol * jnp.where(jnp.linalg.norm(b) == 0, 1.0,
                                        jnp.linalg.norm(b))
-                r = b - (A0 @ x0)
+                r = b - matvec(x0)
                 normr = jnp.linalg.norm(r)
                 history = jnp.full(maxiter + 1, jnp.nan,
                                    dtype=b.dtype).at[0].set(normr)
@@ -93,8 +109,14 @@ class DeviceMultilevelSolver:
 
                 def body(state):
                     it, x, normr, history = state
-                    x = one_cycle(h, x, b)
-                    normr = jnp.linalg.norm(b - (A0 @ x))
+                    if mixed:
+                        corr = one_cycle(
+                            h, jnp.zeros(x.shape, dtype=h.dtype),
+                            (b - matvec(x)).astype(h.dtype)).astype(x.dtype)
+                        x = x + corr
+                    else:
+                        x = one_cycle(h, x, b)
+                    normr = jnp.linalg.norm(b - matvec(x))
                     history = history.at[it + 1].set(normr)
                     return (it + 1, x, normr, history)
 
@@ -103,23 +125,19 @@ class DeviceMultilevelSolver:
                 return x, history, it
         elif accel == "cg":
             def run(h, b, x0, tol):
-                A0 = h.levels[0].A
-                return device_cg(
-                    lambda v: A0 @ v, b, x0, tol=tol, maxiter=maxiter,
-                    M=lambda r: one_cycle(h, jnp.zeros_like(r), r))
+                matvec, precond = mk_ops(h, h.dtype)
+                return device_cg(matvec, b, x0, tol=tol, maxiter=maxiter,
+                                 M=precond)
         elif accel == "bicgstab":
             def run(h, b, x0, tol):
-                A0 = h.levels[0].A
-                return device_bicgstab(
-                    lambda v: A0 @ v, b, x0, tol=tol, maxiter=maxiter,
-                    M=lambda r: one_cycle(h, jnp.zeros_like(r), r))
+                matvec, precond = mk_ops(h, h.dtype)
+                return device_bicgstab(matvec, b, x0, tol=tol,
+                                       maxiter=maxiter, M=precond)
         elif accel in ("gmres", "fgmres"):
             def run(h, b, x0, tol):
-                A0 = h.levels[0].A
-                return device_fgmres(
-                    lambda v: A0 @ v, b, x0, tol=tol, maxiter=maxiter,
-                    M=lambda r: one_cycle(h, jnp.zeros_like(r), r),
-                    restart=restart)
+                matvec, precond = mk_ops(h, h.dtype)
+                return device_fgmres(matvec, b, x0, tol=tol, maxiter=maxiter,
+                                     M=precond, restart=restart)
         else:
             raise ValueError(f"unsupported device accelerator '{accel}'")
 
@@ -130,11 +148,16 @@ class DeviceMultilevelSolver:
     # -- public API (mirrors host MultilevelSolver.solve) --
 
     def solve(self, b, x0=None, tol=1e-8, maxiter=100, cycle="V",
-              accel=None, residuals=None, return_info=False, restart=30):
+              accel=None, residuals=None, return_info=False, restart=30,
+              precision="native"):
+        """precision='native' runs entirely in the hierarchy dtype;
+        'mixed' runs the outer Krylov loop in f64 on device with the f32
+        cycle as preconditioner (reaches 1e-10 at device speed; requires
+        compile_hierarchy(mixed_precision=True))."""
         h = self.hierarchy
         n = h.levels[0].n
         n_pad = h.levels[0].n_pad
-        dtype = h.dtype
+        dtype = jnp.float64 if precision == "mixed" else h.dtype
         b_dev = pad_vector(jnp.asarray(np.asarray(b).ravel(), dtype=dtype),
                            n_pad)
         if x0 is None:
@@ -143,7 +166,7 @@ class DeviceMultilevelSolver:
             x0_dev = pad_vector(
                 jnp.asarray(np.asarray(x0).ravel(), dtype=dtype), n_pad)
         fn = self._get_compiled(str(cycle).upper(), accel, int(maxiter),
-                                int(restart))
+                                int(restart), precision)
         x, history, it = fn(h, b_dev, x0_dev, jnp.asarray(tol, dtype=dtype))
         x = np.asarray(x)[:n]
         hist = np.asarray(history)
@@ -185,7 +208,10 @@ class DeviceMultilevelSolver:
         return LinearOperator((n, n), matvec=matvec, dtype=np.float64)
 
 
-def as_device_solver(ml, dtype=jnp.float32, row_pad=None):
+def as_device_solver(ml, dtype=jnp.float32, row_pad=None,
+                     mixed_precision=False):
     """Compile a host MultilevelSolver into a DeviceMultilevelSolver."""
     kwargs = {} if row_pad is None else {"row_pad": row_pad}
-    return DeviceMultilevelSolver(compile_hierarchy(ml, dtype=dtype, **kwargs))
+    return DeviceMultilevelSolver(
+        compile_hierarchy(ml, dtype=dtype, mixed_precision=mixed_precision,
+                          **kwargs))

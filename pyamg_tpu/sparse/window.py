@@ -145,17 +145,21 @@ class WindowedELL:
                                 jnp.zeros((1, BLOCK), dtype=dtype))
             y_ref[0] = acc
 
+        # NOTE: literal zeros must be int32 — under jax_enable_x64 python
+        # ints in index maps become i64, which Mosaic cannot legalize
+        z = np.int32(0)
+        one = np.int32(1)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, 0, 0)),
-                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, 0, 0)),
-                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, 0, 0)),
-                pl.BlockSpec((H2, _LANES), lambda b, s: (s[b], 0)),
-                pl.BlockSpec((H2, _LANES), lambda b, s: (s[b] + 1, 0)),
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((H2, _LANES), lambda b, s: (s[b], z)),
+                pl.BlockSpec((H2, _LANES), lambda b, s: (s[b] + one, z)),
             ],
-            out_specs=pl.BlockSpec((1, 1, BLOCK), lambda b, s: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, BLOCK), lambda b, s: (b, z, z)),
         )
         y = pl.pallas_call(
             kernel,

@@ -1,0 +1,98 @@
+"""Hierarchy serialization (save/load built solvers).
+
+The reference has no checkpointing (SURVEY.md §5: "A built
+MultilevelSolver is an in-memory object ... users pickle it ad hoc");
+since setup is the expensive phase, first-class save/load is added here:
+level operators round-trip through a single compressed .npz, and
+smoother specs are re-bound on load.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = ["save_hierarchy", "load_hierarchy"]
+
+
+def _pack_csr(prefix, M, out):
+    M = sp.csr_matrix(M)
+    out[f"{prefix}_data"] = M.data
+    out[f"{prefix}_indices"] = M.indices
+    out[f"{prefix}_indptr"] = M.indptr
+    out[f"{prefix}_shape"] = np.asarray(M.shape)
+
+
+def _unpack_csr(prefix, data):
+    return sp.csr_matrix(
+        (data[f"{prefix}_data"], data[f"{prefix}_indices"],
+         data[f"{prefix}_indptr"]),
+        shape=tuple(data[f"{prefix}_shape"]),
+    )
+
+
+def save_hierarchy(ml, path):
+    """Serialize a MultilevelSolver's levels + smoother specs to .npz."""
+    out = {}
+    meta = {"nlevels": len(ml.levels),
+            "coarse_solver": ml.coarse_solver.name()}
+    specs = []
+    for i, lvl in enumerate(ml.levels):
+        _pack_csr(f"A{i}", lvl.A, out)
+        if getattr(lvl, "P", None) is not None:
+            _pack_csr(f"P{i}", lvl.P, out)
+        if getattr(lvl, "R", None) is not None:
+            _pack_csr(f"R{i}", lvl.R, out)
+        if getattr(lvl, "B", None) is not None:
+            out[f"B{i}"] = np.asarray(lvl.B)
+        if getattr(lvl, "splitting", None) is not None:
+            out[f"splitting{i}"] = np.asarray(lvl.splitting)
+        pre = getattr(lvl, "presmoother_spec", None)
+        post = getattr(lvl, "postsmoother_spec", None)
+
+        def enc(spec):
+            if spec is None or spec[0] is None:
+                return None
+            if callable(spec[0]):
+                return None  # custom callables are not serializable
+            return [spec[0], spec[1]]
+
+        specs.append({"pre": enc(pre), "post": enc(post)})
+    meta["specs"] = specs
+    out["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    np.savez_compressed(path, **out)
+
+
+def load_hierarchy(path):
+    """Load a MultilevelSolver saved with :func:`save_hierarchy`."""
+    from ..multilevel import MultilevelSolver
+    from ..relaxation.smoothing import change_smoothers
+
+    data = np.load(path if str(path).endswith(".npz") else f"{path}.npz",
+                   allow_pickle=False)
+    meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
+    levels = []
+    for i in range(meta["nlevels"]):
+        lvl = MultilevelSolver.Level()
+        lvl.A = _unpack_csr(f"A{i}", data)
+        if f"P{i}_data" in data:
+            lvl.P = _unpack_csr(f"P{i}", data)
+        if f"R{i}_data" in data:
+            lvl.R = _unpack_csr(f"R{i}", data)
+        if f"B{i}" in data:
+            lvl.B = data[f"B{i}"]
+        if f"splitting{i}" in data:
+            lvl.splitting = data[f"splitting{i}"]
+        levels.append(lvl)
+    ml = MultilevelSolver(levels, coarse_solver=meta["coarse_solver"])
+    # re-bind smoothers from stored specs
+    nlev = len(levels)
+    pres, posts = [], []
+    for i, spec in enumerate(meta["specs"][: max(nlev - 1, 1)]):
+        pres.append(tuple(spec["pre"]) if spec["pre"] else None)
+        posts.append(tuple(spec["post"]) if spec["post"] else None)
+    change_smoothers(ml, pres, posts)
+    return ml
