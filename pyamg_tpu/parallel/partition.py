@@ -62,6 +62,22 @@ def _shard_op(mesh, E, axis="x"):
         rows = NamedSharding(mesh, P(axis, None))
         return DenseOperator(data=jax.device_put(E.data, rows),
                              shape=E.shape, nnz=E.nnz)
+    from ..sparse import WindowedELL
+
+    ndev = mesh.devices.size
+    if isinstance(E, WindowedELL):
+        if E.data.shape[0] % ndev != 0:
+            return E  # block count not divisible: leave replicated
+        rows3 = NamedSharding(mesh, P(axis, None, None))
+        vec = NamedSharding(mesh, P(axis))
+        return WindowedELL(
+            data=jax.device_put(E.data, rows3),
+            hi=jax.device_put(E.hi, rows3),
+            lo=jax.device_put(E.lo, rows3),
+            starts=jax.device_put(E.starts, vec),
+            shape=E.shape, block=E.block, w2=E.w2,
+            m_chunks=E.m_chunks, nnz=E.nnz,
+        )
     rows = NamedSharding(mesh, P(axis, None))
     return ELLMatrix(
         data=jax.device_put(E.data, rows),
