@@ -7,10 +7,19 @@ collectives, and SpMV neighbor access rides XLA-inserted collectives
 (GSPMD baseline) or explicit halo exchange (shard_map path).
 """
 
+from .dist_spmv import halo_width, make_halo_dia_spmv
+from .multihost import initialize_distributed
 from .partition import (
     make_solver_mesh,
     shard_hierarchy,
     shard_vector,
 )
 
-__all__ = ["make_solver_mesh", "shard_hierarchy", "shard_vector"]
+__all__ = [
+    "halo_width",
+    "make_halo_dia_spmv",
+    "initialize_distributed",
+    "make_solver_mesh",
+    "shard_hierarchy",
+    "shard_vector",
+]
