@@ -91,7 +91,8 @@ def test_krylov_dots_partition():
     assert re.search(r"all-reduce", hlo_dot.as_text())
 
     def run(dv, b, x0):
-        return device_cg(lambda v: dv * v, b, x0, tol=1e-6, maxiter=50)
+        return device_cg(lambda v: dv * v, b, x0, tol=1e-6, maxiter=50,
+                         M=lambda r: r / dv)
 
     # full CG over sharded operands executes correctly (the partitioner
     # may choose replication for tiny n inside the while_loop)
