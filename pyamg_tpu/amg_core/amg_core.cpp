@@ -219,6 +219,108 @@ void rs_cf_splitting(int64_t n, const int64_t* Sp, const int64_t* Sj,
 }
 
 // ---------------------------------------------------------------------
+// Classical (Ruge-Stuben) interpolation, two-pass symbolic/numeric
+// (SURVEY.md §2.4 rs_classical_interpolation_pass1/2 semantics)
+// ---------------------------------------------------------------------
+// strong: per-A-entry flag (entry in the strength pattern, off-diagonal)
+// splitting: F=0/C=1; cmap: fine index -> coarse index (C points only)
+//
+// For F row i the interpolatory set is its strong C neighbors; strong
+// F-F connections distribute through common C points (or lump to the
+// diagonal when none exists and modified != 0); weak connections lump
+// to the diagonal.
+
+// pass 1: count P row lengths (C rows get 1)
+void rs_classical_interpolation_pass1(
+    int64_t n, const int64_t* Ap, const int64_t* Aj, const int8_t* strong,
+    const int64_t* splitting, int64_t* counts) {
+  std::vector<int64_t> marker(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    if (splitting[i] == 1) {  // C row: identity
+      counts[i] = 1;
+      continue;
+    }
+    int64_t cnt = 0;
+    for (int64_t k = Ap[i]; k < Ap[i + 1]; ++k) {
+      int64_t j = Aj[k];
+      if (strong[k] && splitting[j] == 1 && marker[j] != i) {
+        marker[j] = i;
+        ++cnt;
+      }
+    }
+    // distance-two C points contribute only through C_i (classical
+    // interpolation distributes onto C_i), so the count above is final
+    counts[i] = cnt;
+  }
+}
+
+// pass 2: fill P (row pointer Pp prepared by the caller from pass 1)
+void rs_classical_interpolation_pass2(
+    int64_t n, const int64_t* Ap, const int64_t* Aj, const double* Ax,
+    const int8_t* strong, const int64_t* splitting, const int64_t* cmap,
+    int64_t modified, const int64_t* Pp, int64_t* Pj, double* Px) {
+  std::vector<int64_t> marker(n, -1);   // col -> slot in current row
+  std::vector<int64_t> ci_marker(n, -1);  // membership of C_i
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t pstart = Pp[i];
+    if (splitting[i] == 1) {
+      Pj[pstart] = cmap[i];
+      Px[pstart] = 1.0;
+      continue;
+    }
+    int64_t nlocal = 0;
+    double diag = 0.0;
+    // first sweep: diagonal, weak lumping, strong C slots
+    for (int64_t k = Ap[i]; k < Ap[i + 1]; ++k) {
+      int64_t j = Aj[k];
+      double a = Ax[k];
+      if (j == i) {
+        diag += a;
+      } else if (strong[k] && splitting[j] == 1) {
+        if (marker[j] < 0) {
+          marker[j] = nlocal;
+          Pj[pstart + nlocal] = j;  // fine index for now
+          Px[pstart + nlocal] = 0.0;
+          ++nlocal;
+        }
+        ci_marker[j] = i;
+        Px[pstart + marker[j]] -= a;
+      } else if (!strong[k]) {
+        diag += a;  // weak: lump
+      }
+    }
+    // second sweep: distribute strong F-F connections
+    for (int64_t k = Ap[i]; k < Ap[i + 1]; ++k) {
+      int64_t m = Aj[k];
+      if (m == i || !strong[k] || splitting[m] != 0) continue;
+      double a_im = Ax[k];
+      // denominator: sum of m's connections into C_i
+      double denom = 0.0;
+      for (int64_t kk = Ap[m]; kk < Ap[m + 1]; ++kk) {
+        int64_t j = Aj[kk];
+        if (ci_marker[j] == i) denom += Ax[kk];
+      }
+      if (denom == 0.0) {
+        if (modified) diag += a_im;
+        continue;
+      }
+      double scale = a_im / denom;
+      for (int64_t kk = Ap[m]; kk < Ap[m + 1]; ++kk) {
+        int64_t j = Aj[kk];
+        if (ci_marker[j] == i) Px[pstart + marker[j]] -= scale * Ax[kk];
+      }
+    }
+    // finalize: divide by diagonal, map to coarse indices, reset markers
+    for (int64_t s = 0; s < nlocal; ++s) {
+      int64_t j = Pj[pstart + s];
+      marker[j] = -1;
+      Pj[pstart + s] = cmap[j];
+      Px[pstart + s] = (diag != 0.0) ? Px[pstart + s] / diag : 0.0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
 // Sequential relaxation sweeps (SURVEY.md §2.4 relaxation.h semantics)
 // ---------------------------------------------------------------------
 

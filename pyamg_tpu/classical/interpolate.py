@@ -154,6 +154,15 @@ def classical_interpolation(A, C, splitting, modified=True):
     nc = len(cpts)
     strong = _pattern_membership(A, S)
 
+    if not np.iscomplexobj(A.data):
+        try:
+            from ..amg_core import rs_classical_interpolation as _native
+        except Exception:
+            _native = None
+        if _native is not None:
+            return _native(A.indptr, A.indices, A.data, strong, splitting,
+                           cmap, nc, modified=modified)
+
     indptr, indices, a = A.indptr, A.indices, A.data
 
     P_rows, P_cols, P_vals = [], [], []

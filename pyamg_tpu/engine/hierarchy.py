@@ -262,7 +262,7 @@ def _compile_smoother(lvl, spec, dtype, n_pad):
 
 
 def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
-                      mixed_precision=False):
+                      mixed_precision=False, dia_storage=None):
     """Convert a host MultilevelSolver into a DeviceHierarchy.
 
     All level operators become padded DIA/dense/windowed device pytrees in
@@ -270,16 +270,27 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
     coarsest level gets a dense pseudo-inverse.  With
     ``mixed_precision=True`` the finest operator is additionally stored in
     f64 for the on-device mixed-precision Krylov loop (requires
-    jax_enable_x64).  The returned object is consumed by
-    DeviceMultilevelSolver (pyamg_tpu.engine.solver).
+    jax_enable_x64).  ``dia_storage=jnp.bfloat16`` stores DIA diagonal
+    data in bf16 (half the HBM traffic of the bandwidth-bound rolled
+    SpMV) while vectors and accumulation stay in ``dtype`` via promotion.
+    The returned object is consumed by DeviceMultilevelSolver
+    (pyamg_tpu.engine.solver).
     """
+    from ..sparse import DIAMatrix
+
+    def _maybe_compress(op):
+        if dia_storage is not None and isinstance(op, DIAMatrix):
+            return DIAMatrix(data=op.data.astype(dia_storage),
+                             offsets=op.offsets, shape=op.shape, nnz=op.nnz)
+        return op
     host_levels = ml.levels
     levels = []
     for i, lvl in enumerate(host_levels[:-1]):
         A = sp.csr_matrix(lvl.A)
         n = A.shape[0]
         n_pad = pad_to(n, row_pad)
-        A_dev = select_operator(A, dtype=dtype, row_pad=row_pad)
+        A_dev = _maybe_compress(select_operator(A, dtype=dtype,
+                                                row_pad=row_pad))
         P_dev = select_operator(sp.csr_matrix(lvl.P), dtype=dtype,
                                 row_pad=row_pad)
         R_dev = select_operator(sp.csr_matrix(lvl.R), dtype=dtype,

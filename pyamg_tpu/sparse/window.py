@@ -120,9 +120,14 @@ class WindowedELL:
         x2 = x.reshape(self.m_chunks * H2, _LANES)
         dtype = self.data.dtype
 
+        # MXU accumulators must be 32-bit: compute in f32 even for bf16
+        # operands, cast on the way out
+        cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
         def kernel(starts_ref, data_ref, hi_ref, lo_ref, xa_ref, xb_ref,
                    y_ref):
-            xw = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=0)  # (H,128)
+            xw = jnp.concatenate([xa_ref[...], xb_ref[...]],
+                                 axis=0).astype(cdtype)               # (H,128)
             xwT = xw.T                                                # (128, H)
             chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
             lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
@@ -133,17 +138,17 @@ class WindowedELL:
                 dat_s = data_ref[0, pl.ds(s, 1), :]
                 # stage 1 (MXU): one-hot chunk selection; HIGHEST precision
                 # because the MXU's default bf16 passes would round x
-                OH = (chunk_iota == hi_s).astype(dtype)            # (H, BLOCK)
-                C = jnp.dot(xwT, OH, preferred_element_type=dtype,
+                OH = (chunk_iota == hi_s).astype(cdtype)           # (H, BLOCK)
+                C = jnp.dot(xwT, OH, preferred_element_type=cdtype,
                             precision=lax.Precision.HIGHEST)       # (128,BLOCK)
                 # stage 2 (VPU): one-hot lane selection
                 v = jnp.sum(jnp.where(lane_iota == lo_s, C, 0), axis=0,
                             keepdims=True)                          # (1, BLOCK)
-                return acc + v * dat_s
+                return acc + v * dat_s.astype(cdtype)
 
             acc = lax.fori_loop(0, k, body,
-                                jnp.zeros((1, BLOCK), dtype=dtype))
-            y_ref[0] = acc
+                                jnp.zeros((1, BLOCK), dtype=cdtype))
+            y_ref[0] = acc.astype(dtype)
 
         # NOTE: literal zeros must be int32 — under jax_enable_x64 python
         # ints in index maps become i64, which Mosaic cannot legalize
