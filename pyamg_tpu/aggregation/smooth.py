@@ -39,9 +39,7 @@ def _dinv_scaled(S, weighting="diagonal", omega=4.0 / 3.0):
         if bs == 1:
             return _dinv_scaled(S, "diagonal", omega)
         Dinv = get_block_diag(S, bs, inv_flag=True)   # (n/bs, bs, bs)
-        Dinv_mat = sp.block_diag(
-            [sp.csr_matrix(Dinv[i]) for i in range(Dinv.shape[0])], format="csr"
-        ) if Dinv.shape[0] < 20000 else _blockdiag_csr(Dinv)
+        Dinv_mat = _blockdiag_csr(Dinv)
         DinvS = sp.csr_matrix(Dinv_mat @ sp.csr_matrix(S))
         rho = approximate_spectral_radius(DinvS)
         return omega / max(rho, 1e-300), DinvS

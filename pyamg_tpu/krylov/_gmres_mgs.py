@@ -93,7 +93,6 @@ def gmres_mgs(A, b, x0=None, tol=1e-5, criteria="rr", restrt=None,
                 j_used = j
                 broke = True
                 break
-            cs[j] = np.abs(H[j, j]) / denom if H[j, j] != 0 else 0.0
             if H[j, j] != 0:
                 ph = H[j, j] / np.abs(H[j, j])
                 cs[j] = np.abs(H[j, j]) / denom
@@ -110,8 +109,6 @@ def gmres_mgs(A, b, x0=None, tol=1e-5, criteria="rr", restrt=None,
             normr = np.abs(g[j + 1])
             if residuals is not None:
                 residuals.append(normr)
-            if H[j + 1, j] == 0 and np.abs(g[j + 1]) < 1e-300:
-                pass
             if normr < rtol or it >= maxiter_in and restrt is None:
                 broke = True
                 break

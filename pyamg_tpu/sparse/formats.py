@@ -19,7 +19,6 @@ Host <-> device conversion is vectorized scipy -> numpy -> jnp.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Tuple
 

@@ -27,7 +27,6 @@ cannot do.  Reference counterpart: scipy csr_matvec for P/R products
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import numpy as np

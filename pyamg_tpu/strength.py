@@ -304,11 +304,7 @@ def evolution_strength_of_connection(
         rho = 1.0
     E = sp.identity(n, format="csr", dtype=Acsr.dtype) - (1.0 / rho) * DinvA
 
-    # k-step evolution restricted to growing pattern (masked product)
-    Ek = E
-    for _ in range(1, int(np.log2(max(k, 1))) + (0 if k in (1, 2, 4, 8) else 1)):
-        pass  # pattern handled below; keep exact small-k semantics
-    # exact: multiply k times (k is small, default 2)
+    # exact k-step evolution (k is small, default 2)
     Ek = E
     for _ in range(k - 1):
         Ek = sp.csr_matrix(Ek @ E)

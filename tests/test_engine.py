@@ -203,3 +203,32 @@ def test_sharded_collectives_in_hlo():
     hlo = lowered.as_text()
     assert re.search(r"(all-gather|all-reduce|collective-permute|dynamic-slice)",
                      hlo), "no collectives in sharded SpMV HLO"
+
+
+def test_device_air_hierarchy():
+    """AIR hierarchies (windowed R, masked fc-Jacobi smoothers) run on
+    the device engine and keep the near-exact advection behavior."""
+    from pyamg_tpu import air_solver
+    from pyamg_tpu.gallery import advection_2d
+
+    A, rhs = advection_2d((24, 24))
+    ml = air_solver(A)
+    dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    res = []
+    x = dml.solve(rhs, tol=1e-10, maxiter=40, residuals=res)
+    assert len(res) - 1 <= 3
+    np.testing.assert_allclose(x, 1.0, atol=1e-10)
+
+
+def test_device_classical_hierarchy():
+    """Classical RS hierarchies (multicolor GS) on the device engine."""
+    from pyamg_tpu import ruge_stuben_solver
+
+    A = poisson((24, 24), format="csr")
+    ml = ruge_stuben_solver(A)
+    dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    b = np.random.default_rng(11).random(A.shape[0])
+    res = []
+    x = dml.solve(b, tol=1e-8, maxiter=40, accel="cg", residuals=res)
+    relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert relres < 1e-7
