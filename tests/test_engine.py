@@ -232,3 +232,44 @@ def test_device_classical_hierarchy():
     x = dml.solve(b, tol=1e-8, maxiter=40, accel="cg", residuals=res)
     relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert relres < 1e-7
+
+
+def test_device_setup_primitives():
+    """Gather-free device setup primitives (MIS, coloring, PMIS, BF)
+    produce valid results matching host-side validity checkers."""
+    from pyamg_tpu import graph_ref
+    from pyamg_tpu.engine import setup as dsetup
+    from pyamg_tpu.sparse import dia_from_scipy
+
+    A = poisson((16, 16), format="csr")
+    dia = dia_from_scipy(A, dtype=jnp.float64, row_pad=8)
+    n = A.shape[0]
+
+    mis = np.asarray(dsetup.device_luby_mis(dia))[:n]
+    assert graph_ref.is_maximal_independent_set(A, mis == 1)
+
+    colors = np.asarray(dsetup.device_jp_coloring(dia))[:n]
+    assert graph_ref.is_valid_coloring(A, colors)
+    assert colors.max() + 1 <= 8
+
+    smask = np.asarray(dsetup.device_strength_mask(dia, theta=0.25))
+    # strength mask marks only existing off-diagonal entries
+    offd = np.array([o != 0 for o in dia.offsets])[:, None]
+    data = np.asarray(dia.data)
+    assert not (smask & ~((data != 0) & offd)).any()
+    assert smask.any()
+
+    splitting = np.asarray(dsetup.device_pmis_splitting(dia))[:n]
+    assert set(np.unique(splitting)) == {0, 1}
+    assert 0 < splitting.sum() < n
+    # C points form an independent set in the strong graph
+    from pyamg_tpu.graph_ref import is_independent_set
+    assert is_independent_set(A, splitting == 1)
+
+    seeds = np.zeros(dia.n_pad, dtype=bool)
+    seeds[[0, 100, 200]] = True
+    dist = np.asarray(dsetup.device_bellman_ford(dia, jnp.asarray(seeds)))
+    d_ref, _ = graph_ref.bellman_ford_ref(
+        A.multiply(abs(A) > 0), [0, 100, 200])
+    # same graph distances (weights |A|)
+    np.testing.assert_allclose(dist[:n], d_ref, atol=1e-10)
