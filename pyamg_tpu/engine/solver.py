@@ -215,3 +215,51 @@ def as_device_solver(ml, dtype=jnp.float32, row_pad=None,
     return DeviceMultilevelSolver(
         compile_hierarchy(ml, dtype=dtype, mixed_precision=mixed_precision,
                           **kwargs))
+
+
+def profile_cycle(dml, b=None, trace_dir=None, repeats=10, cycle="V"):
+    """Time (and optionally jax.profiler-trace) the jitted cycle.
+
+    SURVEY.md §5 tracing analog: returns a dict with wall time and the
+    nnz/s roofline counter (the BASELINE.json:2 headline metric).  When
+    ``trace_dir`` is given, a jax.profiler trace of the steady-state
+    calls is written there (viewable in TensorBoard/XProf).
+    """
+    import time as _time
+
+    h = dml.hierarchy
+    n_pad = h.levels[0].n_pad
+    if b is None:
+        b = jnp.ones(n_pad, dtype=h.dtype)
+    else:
+        b = pad_vector(jnp.asarray(np.asarray(b).ravel(), dtype=h.dtype),
+                       n_pad)
+    cyc = dml.cycle_operator(cycle)
+    jax.block_until_ready(cyc(b))  # compile
+
+    def timed():
+        times = []
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(cyc(b))
+            times.append(_time.perf_counter() - t0)
+        return float(np.median(times))
+
+    if trace_dir is not None:
+        with jax.profiler.trace(str(trace_dir)):
+            t = timed()
+    else:
+        t = timed()
+
+    cycle_nnz = 0
+    for lvl in h.levels[:-1]:
+        cycle_nnz += 3 * lvl.A.nnz
+        if lvl.P is not None:
+            cycle_nnz += lvl.P.nnz + lvl.R.nnz
+    cycle_nnz += h.nc * h.nc
+    return {
+        "cycle": cycle,
+        "t_cycle_s": t,
+        "cycle_nnz": int(cycle_nnz),
+        "gnnz_per_s": cycle_nnz / t / 1e9,
+    }

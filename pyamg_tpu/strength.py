@@ -318,6 +318,8 @@ def evolution_strength_of_connection(
     vals = Ek.data
 
     if B.shape[1] == 1:
+        # single candidate: ratio test — how accurately the evolved delta
+        # at j predicts the near-nullspace value at i
         b = B[:, 0]
         diag_of_Ek = Ek.diagonal()
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -327,16 +329,33 @@ def evolution_strength_of_connection(
                 np.where(np.abs(ref) > 0, 1.0 - cur / np.where(ref == 0, 1, ref), np.inf)
             )
     else:
-        # multi-candidate: angle between evolution column and span(B) rows —
-        # fall back to ratio measure on the first candidate (dominant mode)
-        b = B[:, 0]
-        diag_of_Ek = Ek.diagonal()
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ref = diag_of_Ek[rows] * b[rows]
-            cur = vals * b[cols]
-            measure = np.abs(
-                np.where(np.abs(ref) > 0, 1.0 - cur / np.where(ref == 0, 1, ref), np.inf)
-            )
+        # multi-candidate: per-row least-squares projection of the evolved
+        # row onto span(B) over its neighborhood (the amg_core
+        # evolution_strength_helper's constrained fit, batched over rows
+        # padded to the max neighborhood size); the measure is the
+        # pointwise projection error normalized by the entry magnitude.
+        lens = np.diff(Ek.indptr)
+        nmax = int(lens.max()) if n else 0
+        mask = np.arange(nmax)[None, :] < lens[:, None]
+        pad_cols = np.zeros((n, nmax), dtype=np.int64)
+        pad_vals = np.zeros((n, nmax), dtype=np.float64)
+        if Ek.nnz:
+            pad_cols[mask] = cols
+            pad_vals[mask] = np.real(vals)
+        Bn = np.where(mask[:, :, None], B[pad_cols].real, 0.0)  # (n, m, k)
+        # normal equations per row: (B^T B) c = B^T z
+        G = np.einsum("nmk,nml->nkl", Bn, Bn)
+        rhs = np.einsum("nmk,nm->nk", Bn, pad_vals)
+        Ginv = G.copy()
+        from .util.linalg import pinv_array
+
+        pinv_array(Ginv)
+        coef = np.einsum("nkl,nl->nk", Ginv, rhs)
+        fit = np.einsum("nmk,nk->nm", Bn, coef)
+        err = np.abs(pad_vals - fit)
+        scale = np.maximum(np.abs(pad_vals), 1e-12)
+        measure_pad = np.where(mask, err / scale, np.inf)
+        measure = measure_pad[mask]
 
     offdiag = rows != cols
     measure = np.where(offdiag, measure, 0.0)
