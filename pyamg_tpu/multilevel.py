@@ -169,14 +169,51 @@ class MultilevelSolver:
     # solve
     # ------------------------------------------------------------------
 
+    def to_device(self, dtype=None, mixed_precision=False, row_pad=None):
+        """Compile (and cache) this hierarchy for the TPU engine.
+
+        Returns a pyamg_tpu.engine.DeviceMultilevelSolver; repeated calls
+        with the same options reuse the compiled hierarchy.
+        """
+        from .engine import as_device_solver
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = jnp.float32
+        key = (str(jnp.dtype(dtype)), mixed_precision, row_pad)
+        cached = self._device_hierarchy
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        dml = as_device_solver(self, dtype=dtype,
+                               mixed_precision=mixed_precision,
+                               row_pad=row_pad)
+        self._device_hierarchy = (key, dml)
+        return dml
+
     def solve(self, b, x0=None, tol=1e-5, maxiter=100, cycle="V", accel=None,
               callback=None, residuals=None, return_info=False,
-              cycles_per_level=1):
+              cycles_per_level=1, backend="host"):
         """Solve A x = b with multigrid cycling, optionally Krylov-wrapped.
 
         [R] pyamg/multilevel.py::solve.  ``residuals`` (a list) receives
         the 2-norm residual history including iteration 0.
+
+        backend='device' routes through the jitted TPU engine
+        (:meth:`to_device`; V/W/F cycles, cg/gmres/bicgstab accel, no
+        callback support); 'host' (default) is the reference-semantics
+        SciPy path.
         """
+        if backend == "device":
+            if callback is not None or cycle.upper() == "AMLI":
+                raise ValueError("device backend does not support callbacks "
+                                 "or AMLI cycles; use backend='host'")
+            import jax.numpy as jnp
+
+            dml = self.to_device(dtype=jnp.float64)
+            return dml.solve(b, x0=x0, tol=tol,
+                             maxiter=100 if maxiter is None else maxiter,
+                             cycle=cycle, accel=accel, residuals=residuals,
+                             return_info=return_info)
         A = self.levels[0].A
         if maxiter is None:
             maxiter = 100

@@ -273,3 +273,23 @@ def test_device_setup_primitives():
         A.multiply(abs(A) > 0), [0, 100, 200])
     # same graph distances (weights |A|)
     np.testing.assert_allclose(dist[:n], d_ref, atol=1e-10)
+
+
+def test_solve_backend_device():
+    """MultilevelSolver.solve(backend='device') routes through the
+    jitted engine and reproduces the host residual history (jacobi
+    smoothing is order-free, so f64 histories agree to rounding)."""
+    A = poisson((20, 20), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("jacobi", {"omega": 1.0}),
+        postsmoother=("jacobi", {"omega": 1.0}), max_coarse=10)
+    b = np.random.default_rng(12).random(A.shape[0])
+    res_h, res_d = [], []
+    ml.solve(b, tol=1e-8, maxiter=25, residuals=res_h)
+    ml.solve(b, tol=1e-8, maxiter=25, residuals=res_d, backend="device")
+    assert len(res_h) == len(res_d)
+    np.testing.assert_allclose(res_d, res_h, rtol=1e-9)
+    # cached device hierarchy is reused
+    dml1 = ml.to_device(dtype=jnp.float64)
+    dml2 = ml.to_device(dtype=jnp.float64)
+    assert dml1 is dml2
