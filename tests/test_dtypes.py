@@ -1,0 +1,55 @@
+"""Dtype coverage (SURVEY.md §4 idiom 3: complex + index dtypes)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import pyamg_tpu
+from pyamg_tpu.gallery import gauge_laplacian, poisson
+
+
+def test_complex_sa_solve():
+    """Complex Hermitian (gauge Laplacian) through SA + CG (host path)."""
+    A = gauge_laplacian(16, beta=0.05).tocsr()
+    ml = pyamg_tpu.smoothed_aggregation_solver(A, symmetry="hermitian")
+    b = (np.random.default_rng(0).random(A.shape[0])
+         + 1j * np.random.default_rng(1).random(A.shape[0]))
+    res = []
+    x = ml.solve(b, tol=1e-8, maxiter=100, accel="cg", residuals=res)
+    assert res[-1] / res[0] < 1e-7
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-6
+
+
+def test_complex_classical_strength():
+    A = gauge_laplacian(8, beta=0.05).tocsr()
+    S = pyamg_tpu.classical_strength_of_connection(A, theta=0.1)
+    assert S.nnz > A.shape[0]
+    assert not np.iscomplexobj(S.data)  # measures are real magnitudes
+
+
+def test_int32_indices():
+    A = poisson((20, 20), format="csr")
+    A32 = sp.csr_matrix(
+        (A.data, A.indices.astype(np.int32), A.indptr.astype(np.int32)),
+        shape=A.shape)
+    ml = pyamg_tpu.smoothed_aggregation_solver(A32)
+    b = np.ones(A.shape[0])
+    res = []
+    ml.solve(b, tol=1e-8, residuals=res)
+    assert res[-1] / res[0] < 1e-7
+
+
+def test_float32_input():
+    A = poisson((16, 16), format="csr").astype(np.float32)
+    ml = pyamg_tpu.smoothed_aggregation_solver(A)
+    b = np.ones(A.shape[0], dtype=np.float32)
+    x = ml.solve(b, tol=1e-5)
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-3
+
+
+def test_integer_matrix_upcast():
+    A = poisson((10, 10)).astype(np.int64).tocsr()
+    ml = pyamg_tpu.ruge_stuben_solver(A)
+    b = np.ones(A.shape[0])
+    x = ml.solve(b, tol=1e-8)
+    assert np.linalg.norm(b - A.astype(float) @ x) < 1e-4
