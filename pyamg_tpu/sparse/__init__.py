@@ -1,6 +1,7 @@
 """Device sparse containers and SpMV kernels (SURVEY.md §7 step 1)."""
 
-from .dia import DenseOperator, DIAMatrix, dense_from_scipy, dia_from_scipy
+from .dia import (DenseOperator, DIAMatrix, dense_from_scipy,
+                  dia_from_scipy, dia_spgemm)
 from .window import WindowedELL, windowed_from_scipy
 from .formats import (
     BlockELLMatrix,
@@ -56,6 +57,7 @@ __all__ = [
     "bsr_ell_from_scipy",
     "dense_from_scipy",
     "dia_from_scipy",
+    "dia_spgemm",
     "ell_from_scipy",
     "ell_to_scipy",
     "pad_to",

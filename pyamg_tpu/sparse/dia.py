@@ -169,3 +169,38 @@ def dense_from_scipy(A, dtype=jnp.float32, row_pad=8):
     data[:n, :m] = A.toarray()
     return DenseOperator(
         data=jnp.asarray(data, dtype=dtype), shape=(n, m), nnz=int(A.nnz))
+
+
+def dia_spgemm(A: DIAMatrix, B: DIAMatrix):
+    """Gather-free device SpGEMM for banded operators: C = A @ B.
+
+    The banded-times-banded product is a sum over offset pairs,
+
+        C_data[oa + ob] += A_data[oa] * roll(B_data[ob], -oa),
+
+    so the whole SpGEMM is rolls + elementwise FMAs — the TPU-native
+    form of the reference's csr_matmat for banded operands (SURVEY.md
+    §2.4 L0; BASELINE.json:5 "SpGEMM for RAP and P^T A P").  Wrap-around
+    terms vanish because out-of-range entries store zero.  Output offsets
+    are the (static) sums of the input offsets; general RAP with windowed
+    transfer operators remains a host-side product by design (DESIGN.md).
+    """
+    if A.shape[1] != B.shape[0]:
+        raise ValueError("dimension mismatch")
+    if A.n_pad != B.n_pad:
+        raise ValueError("operands must share padding")
+    acc = {}
+    for da, oa in enumerate(A.offsets):
+        a = A.data[da]
+        for db, ob in enumerate(B.offsets):
+            oc = oa + ob
+            term = a * jnp.roll(B.data[db], -oa)
+            if oc in acc:
+                acc[oc] = acc[oc] + term
+            else:
+                acc[oc] = term
+    offsets = tuple(sorted(acc.keys()))
+    data = jnp.stack([acc[o] for o in offsets])
+    nnz_est = min(A.nnz * max(len(B.offsets), 1), len(offsets) * A.shape[0])
+    return DIAMatrix(data=data, offsets=offsets,
+                     shape=(A.shape[0], B.shape[1]), nnz=int(nnz_est))

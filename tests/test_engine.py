@@ -293,3 +293,23 @@ def test_solve_backend_device():
     dml1 = ml.to_device(dtype=jnp.float64)
     dml2 = ml.to_device(dtype=jnp.float64)
     assert dml1 is dml2
+
+
+def test_dia_spgemm_matches_scipy():
+    """Gather-free banded SpGEMM (rolls) == scipy csr_matmat."""
+    from pyamg_tpu.sparse import dia_from_scipy, dia_spgemm, ell_to_scipy
+
+    A = poisson((12, 12), format="csr")
+    dia = dia_from_scipy(A, dtype=jnp.float64, row_pad=8)
+    C = dia_spgemm(dia, dia)
+    ref = (A @ A).toarray()
+    # reconstruct dense from DIA
+    n = A.shape[0]
+    out = np.zeros((C.n_pad, C.n_pad))
+    data = np.asarray(C.data)
+    for d, off in enumerate(C.offsets):
+        for i in range(C.n_pad):
+            j = i + off
+            if 0 <= j < C.n_pad:
+                out[i, j] = data[d, i]
+    np.testing.assert_allclose(out[:n, :n], ref, atol=1e-12)

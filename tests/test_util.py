@@ -178,3 +178,54 @@ def test_vis_vtu(tmp_path):
     buf = io.StringIO()
     write_basic_mesh(buf, V, E, mesh_type="tri")
     assert "UnstructuredGrid" in buf.getvalue()
+
+
+def test_chebyshev_coefficients_property():
+    """q(t) = 1 - t p(t) satisfies q(0)=1 and is small on [a, b]."""
+    from pyamg_tpu.relaxation.chebyshev import chebyshev_polynomial_coefficients
+
+    a, b, degree = 0.1, 2.0, 4
+    p = chebyshev_polynomial_coefficients(a, b, degree)
+    ts = np.linspace(a, b, 400)
+    qt = 1.0 - ts * np.polyval(p, ts)
+    # q attains exactly the Chebyshev minimax bound 1/T_d((b+a)/(b-a))
+    sigma = (b + a) / (b - a)
+    bound = 1.0 / np.cosh(degree * np.arccosh(sigma))
+    assert np.abs(qt).max() <= bound * (1 + 1e-10)
+    np.testing.assert_allclose(np.abs(qt).max(), bound, rtol=1e-6)
+
+
+def test_filter_operator_preserves_modes():
+    """filter_operator keeps A @ B = Bf while restricting the pattern."""
+    from pyamg_tpu.util.utils import filter_operator
+
+    rng = np.random.default_rng(0)
+    A = poisson((8, 8)).tocsr()
+    B = np.ones((64, 1))
+    Bf = A @ B
+    # restrict to a sub-pattern (drop ~30% of off-diagonal entries)
+    C = A.copy()
+    mask = rng.random(C.nnz) > 0.3
+    rows = np.repeat(np.arange(64), np.diff(C.indptr))
+    mask |= rows == C.indices
+    C.data = C.data * mask
+    C.eliminate_zeros()
+    Af = filter_operator(A, C, B, Bf)
+    np.testing.assert_allclose(Af @ B, Bf, atol=1e-10)
+    assert Af.nnz <= C.nnz
+
+
+def test_compute_btbinv():
+    from pyamg_tpu.util.utils import compute_BtBinv
+
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((30, 2))
+    C = sp.random(10, 30, density=0.4, random_state=2, format="csr")
+    C.data[:] = 1.0
+    G = compute_BtBinv(B, C)
+    # each block is the pseudo-inverse of the local Gram matrix
+    for i in range(10):
+        cols = C.indices[C.indptr[i]: C.indptr[i + 1]]
+        Bi = B[cols]
+        np.testing.assert_allclose(G[i], np.linalg.pinv(Bi.T @ Bi),
+                                   atol=1e-10)
