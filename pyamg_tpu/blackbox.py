@@ -54,17 +54,24 @@ def solver_configuration(A, B=None, verb=True):
         smooth_default = ("energy", {"krylov": "cg", "maxiter": 3,
                                      "degree": 1, "weighting": "local"})
         config["accel"] = "cg"
+        config["presmoother"] = ("block_gauss_seidel", {"sweep": "symmetric"})
+        config["postsmoother"] = ("block_gauss_seidel", {"sweep": "symmetric"})
     else:
         config["symmetry"] = "nonsymmetric"
-        smooth_default = ("energy", {"krylov": "gmres", "maxiter": 3,
+        smooth_default = ("energy", {"krylov": "cgnr", "maxiter": 2,
                                      "degree": 1, "weighting": "local"})
-        config["accel"] = "gmres"
+        # fgmres: right preconditioning stops on the TRUE residual
+        config["accel"] = "fgmres"
+        # plain Gauss-Seidel can diverge on nonsymmetric operators;
+        # NR (least-squares) sweeps are unconditionally convergent
+        config["presmoother"] = ("gauss_seidel_nr", {"sweep": "symmetric",
+                                                     "iterations": 2})
+        config["postsmoother"] = ("gauss_seidel_nr", {"sweep": "symmetric",
+                                                      "iterations": 2})
     if verb:
         print(f"  Detected a {config['symmetry']} matrix")
 
     config["smooth"] = smooth_default
-    config["presmoother"] = ("block_gauss_seidel", {"sweep": "symmetric"})
-    config["postsmoother"] = ("block_gauss_seidel", {"sweep": "symmetric"})
 
     if B is None:
         config["B"] = np.ones((A.shape[0], 1), dtype=A.dtype)
@@ -123,7 +130,7 @@ def solve(A, b, x0=None, tol=1e-5, maxiter=400, return_solver=False,
     else:
         ml = existing_solver
         chosen_accel = accel or ("cg" if ishermitian(A, fast_check=True)
-                                 else "gmres")
+                                 else "fgmres")
     if verb:
         print(ml)
 
@@ -132,7 +139,7 @@ def solve(A, b, x0=None, tol=1e-5, maxiter=400, return_solver=False,
                  residuals=residuals)
     if verb:
         nb = norm(b)
-        rel = residuals[-1] / nb if nb != 0 else residuals[-1]
+        rel = norm(b - A @ x) / nb if nb != 0 else norm(b - A @ x)
         print(f"  Residuals ||r_k||/||b||: {rel:.2e} after "
               f"{len(residuals) - 1} iterations")
     if return_solver:

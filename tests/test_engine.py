@@ -313,3 +313,18 @@ def test_dia_spgemm_matches_scipy():
             if 0 <= j < C.n_pad:
                 out[i, j] = data[d, i]
     np.testing.assert_allclose(out[:n, :n], ref, atol=1e-12)
+
+
+def test_device_rootnode_hierarchy():
+    """Rootnode (energy-min P) hierarchies compile to windowed operators
+    and solve on the device engine."""
+    from pyamg_tpu import rootnode_solver
+
+    A = poisson((24, 24), format="csr")
+    ml = rootnode_solver(A, strength="symmetric")
+    dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    b = np.random.default_rng(13).random(A.shape[0])
+    res = []
+    x = dml.solve(b, tol=1e-8, maxiter=40, accel="cg", residuals=res)
+    relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert relres < 1e-7
