@@ -43,11 +43,13 @@ def _dinv_scaled(S, weighting="diagonal", omega=4.0 / 3.0):
         DinvS = sp.csr_matrix(Dinv_mat @ sp.csr_matrix(S))
         rho = approximate_spectral_radius(DinvS)
         return omega / max(rho, 1e-300), DinvS
-    # 'diagonal'
+    # 'diagonal' — reuse the cached rho(D^-1 S): the smoother setup
+    # (rho_D_inv_A) needs the same quantity, so one Arnoldi serves both
+    from ..relaxation.smoothing import rho_D_inv_A
+
+    rho = rho_D_inv_A(S)
     dinv = get_diagonal(S, inv=True)
-    DinvS = scale_rows(sp.csr_matrix(S), dinv)
-    DinvS = sp.csr_matrix(DinvS)
-    rho = approximate_spectral_radius(DinvS)
+    DinvS = sp.csr_matrix(scale_rows(sp.csr_matrix(S), dinv))
     return omega / max(rho, 1e-300), DinvS
 
 

@@ -149,7 +149,9 @@ def _compile_smoother(lvl, spec, dtype, n_pad):
     acceptance criterion (SURVEY.md §7 hard part 3).
     """
     A = lvl.A
-    Acsr = sp.csr_matrix(A)
+    # keep the SAME object when already CSR so spectral-radius caches
+    # (_rho, _rho_D_inv) computed during host setup are reused
+    Acsr = A if (sp.issparse(A) and A.format == "csr") else sp.csr_matrix(A)
     name, kwargs = spec if spec is not None else (None, {})
     kwargs = dict(kwargs or {})
 
