@@ -20,6 +20,7 @@ _SRC = os.path.join(_HERE, "amg_core.cpp")
 
 # names re-exported by the package when the extension loads
 NATIVE_EXPORTS = [
+    "gauss_seidel",
     "standard_aggregation",
     "naive_aggregation",
     "rs_cf_splitting",
@@ -72,6 +73,11 @@ class _Native:
             ctypes.c_int64, i64, i64, i64, i64, ctypes.c_int64, i64,
         ]
         i8 = ctypes.POINTER(ctypes.c_int8)
+        lib.gauss_seidel.restype = None
+        lib.gauss_seidel.argtypes = [
+            ctypes.c_int64, i64, i64, f64, f64, f64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.rs_classical_interpolation_pass1.restype = None
         lib.rs_classical_interpolation_pass1.argtypes = [
             ctypes.c_int64, i64, i64, i8, i64, i64,
@@ -137,6 +143,21 @@ class _Native:
             self._ptr_i(Tj), 1 if second_pass else 0, self._ptr_i(splitting),
         )
         return splitting
+
+    def gauss_seidel(self, indptr, indices, data, x, b, row_start,
+                     row_stop, row_step):
+        n = len(indptr) - 1
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        if x.dtype != np.float64 or not x.flags.c_contiguous:
+            raise TypeError("x must be contiguous float64 for native GS")
+        b = np.ascontiguousarray(b, dtype=np.float64)
+        self._lib.gauss_seidel(
+            n, self._ptr_i(indptr), self._ptr_i(indices), self._ptr_f(data),
+            self._ptr_f(x), self._ptr_f(b),
+            int(row_start), int(row_stop), int(row_step),
+        )
 
     def rs_classical_interpolation(self, indptr, indices, data, strong,
                                    splitting, cmap, nc, modified=True):

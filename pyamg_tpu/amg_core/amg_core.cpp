@@ -324,6 +324,24 @@ void rs_classical_interpolation_pass2(
 // Sequential relaxation sweeps (SURVEY.md §2.4 relaxation.h semantics)
 // ---------------------------------------------------------------------
 
+// Plain Gauss-Seidel sweep over [row_start, row_stop) with step
+// row_step (+1 forward, -1 backward) — the reference's
+// relaxation.h::gauss_seidel loop.
+void gauss_seidel(int64_t n, const int64_t* indptr, const int64_t* indices,
+                  const double* data, double* x, const double* b,
+                  int64_t row_start, int64_t row_stop, int64_t row_step) {
+  (void)n;
+  for (int64_t i = row_start; i != row_stop; i += row_step) {
+    double diag = 0.0, rsum = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (j == i) diag += data[k];
+      else rsum += data[k] * x[j];
+    }
+    if (diag != 0.0) x[i] = (b[i] - rsum) / diag;
+  }
+}
+
 // Gauss-Seidel over an explicit index order.
 void gauss_seidel_indexed(int64_t n_order, const int64_t* indptr,
                           const int64_t* indices, const double* data,

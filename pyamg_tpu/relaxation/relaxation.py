@@ -131,6 +131,23 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
             gauss_seidel(A, x, b, iterations=1, sweep="backward")
         return x
     lower = sweep == "forward"
+    # native row-loop sweep when available (exact reference semantics);
+    # fall back to the triangular-solve formulation otherwise
+    _native = None
+    if (A.format == "csr" and x.dtype == np.float64
+            and not np.iscomplexobj(A.data)):
+        try:
+            from ..amg_core import gauss_seidel as _native
+        except Exception:
+            _native = None
+    if _native is not None:
+        n = A.shape[0]
+        for _ in range(iters):
+            if lower:
+                _native(A.indptr, A.indices, A.data, x, b, 0, n, 1)
+            else:
+                _native(A.indptr, A.indices, A.data, x, b, n - 1, -1, -1)
+        return x
     Tri, Opp = _tri_parts(A, lower)
     for _ in range(iters):
         rhs = b - Opp @ x
