@@ -30,7 +30,7 @@ def _median_time(fn, repeats=7, warmup=2):
     return float(np.median(times))
 
 
-def main(grid=(1024, 1024), verbose=False):
+def main(grid=(2048, 2048), verbose=False):
     import jax
     import jax.numpy as jnp
 
@@ -149,7 +149,7 @@ def main(grid=(1024, 1024), verbose=False):
 
 
 if __name__ == "__main__":
-    grid = (1024, 1024)
+    grid = (2048, 2048)
     verbose = "-v" in sys.argv
     args = [a for a in sys.argv[1:] if a != "-v"]
     if args:
