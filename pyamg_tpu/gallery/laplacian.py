@@ -25,6 +25,30 @@ def poisson(grid, dtype=float, format=None, type="FD"):
     if type not in ("FD", "FE"):
         raise ValueError("type must be 'FD' or 'FE'")
 
+    if type == "FD" and ndim in (1, 2, 3):
+        # separable FD Laplacian: Kronecker-sum assembly (fast path; the
+        # generic stencil_grid path below produces the identical matrix)
+        import scipy.sparse as sp
+
+        def lap1d(m):
+            return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(m, m),
+                            format="csr", dtype=dtype)
+
+        eyes = [sp.identity(g, format="csr", dtype=dtype) for g in grid]
+        A = None
+        for d in range(ndim):
+            ops = [eyes[j] if j != d else lap1d(grid[d]) for j in range(ndim)]
+            term = ops[0]
+            for op in ops[1:]:
+                term = sp.kron(term, op, format="csr")
+            A = term if A is None else A + term
+        A = A.tocsr()
+        A.sum_duplicates()
+        A.sort_indices()
+        if format not in (None, "csr"):
+            A = A.asformat(format)
+        return A
+
     if ndim == 1:
         S = np.array([-1.0, 2.0, -1.0], dtype=dtype)
     elif ndim == 2:
