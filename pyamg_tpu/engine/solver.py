@@ -49,6 +49,32 @@ def _make_cycle(nlev, cycle):
             elif kind == "F":
                 xc = visit(h, i + 1, xc, rc, "F")
                 xc = visit(h, i + 1, xc, rc, "V")
+            elif kind == "AMLI":
+                # two A_c-orthogonalized coarse corrections (static
+                # unroll of the host AMLI branch, SURVEY.md §2.1)
+                Ac = h.levels[i + 1].A
+                rc_cur = rc
+                p_prev = None
+                Ap_prev = None
+                for _k in range(2):
+                    p = visit(h, i + 1,
+                              jnp.zeros(h.levels[i + 1].n_pad,
+                                        dtype=b.dtype),
+                              rc_cur, "AMLI")
+                    if p_prev is not None:
+                        denom = jnp.vdot(p_prev, Ap_prev)
+                        beta = jnp.vdot(p_prev, Ac @ p) / jnp.where(
+                            denom == 0, 1.0, denom)
+                        beta = jnp.where(denom == 0, 0.0, beta)
+                        p = p - beta * p_prev
+                    Ap = Ac @ p
+                    denom = jnp.vdot(p, Ap)
+                    alpha = jnp.vdot(p, rc_cur) / jnp.where(
+                        denom == 0, 1.0, denom)
+                    alpha = jnp.where(denom == 0, 0.0, alpha)
+                    xc = xc + alpha * p
+                    rc_cur = rc_cur - alpha * Ap
+                    p_prev, Ap_prev = p, Ap
             else:
                 raise ValueError(f"unsupported device cycle {kind}")
         x = x + (lvl.P @ xc)

@@ -204,9 +204,9 @@ class MultilevelSolver:
         SciPy path.
         """
         if backend == "device":
-            if callback is not None or cycle.upper() == "AMLI":
-                raise ValueError("device backend does not support callbacks "
-                                 "or AMLI cycles; use backend='host'")
+            if callback is not None:
+                raise ValueError("device backend does not support callbacks; "
+                                 "use backend='host'")
             import jax.numpy as jnp
 
             dml = self.to_device(dtype=jnp.float64)
@@ -324,7 +324,9 @@ class MultilevelSolver:
             coarse_x[:] = self.coarse_solver(self.levels[-1].A, coarse_b)
         else:
             if cycle == "V":
-                self.__solve(lvl + 1, coarse_x, coarse_b, "V", cycles_per_level)
+                for _ in range(max(int(cycles_per_level), 1)):
+                    self.__solve(lvl + 1, coarse_x, coarse_b, "V",
+                                 cycles_per_level)
             elif cycle == "W":
                 self.__solve(lvl + 1, coarse_x, coarse_b, cycle, cycles_per_level)
                 self.__solve(lvl + 1, coarse_x, coarse_b, cycle, cycles_per_level)

@@ -113,7 +113,7 @@ def test_device_accels(device_solver, accel):
     assert relres < 1e-6, f"{accel}: {relres}"
 
 
-@pytest.mark.parametrize("cycle", ["V", "W", "F"])
+@pytest.mark.parametrize("cycle", ["V", "W", "F", "AMLI"])
 def test_device_cycles(device_solver, cycle):
     A, ml, dml, b = device_solver
     res = []
