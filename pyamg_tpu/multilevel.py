@@ -176,10 +176,15 @@ class MultilevelSolver:
         with the same options reuse the compiled hierarchy.
         """
         from .engine import as_device_solver
+        import jax
         import jax.numpy as jnp
 
         if dtype is None:
             dtype = jnp.float32
+        if jnp.dtype(dtype) == jnp.dtype("float64"):
+            # without x64 the arrays silently truncate to f32 and the
+            # reported residual history becomes meaningless
+            jax.config.update("jax_enable_x64", True)
         key = (str(jnp.dtype(dtype)), mixed_precision, row_pad)
         cached = self._device_hierarchy
         if cached is not None and cached[0] == key:
@@ -207,13 +212,22 @@ class MultilevelSolver:
             if callback is not None:
                 raise ValueError("device backend does not support callbacks; "
                                  "use backend='host'")
+            import jax
             import jax.numpy as jnp
 
-            dml = self.to_device(dtype=jnp.float64)
+            if jax.default_backend() == "tpu":
+                # Mosaic has no 64-bit kernels: f64 on TPU means the
+                # mixed scheme (f32 cycle + f64 outer loop on device)
+                dml = self.to_device(dtype=jnp.float32,
+                                     mixed_precision=True)
+                precision = "mixed"
+            else:
+                dml = self.to_device(dtype=jnp.float64)
+                precision = "native"
             return dml.solve(b, x0=x0, tol=tol,
                              maxiter=100 if maxiter is None else maxiter,
                              cycle=cycle, accel=accel, residuals=residuals,
-                             return_info=return_info)
+                             return_info=return_info, precision=precision)
         A = self.levels[0].A
         if maxiter is None:
             maxiter = 100
