@@ -38,6 +38,7 @@ from . import relaxation as device_relaxation
 __all__ = ["DeviceLevel", "DeviceHierarchy", "compile_hierarchy"]
 
 _ROW_PAD = 1024
+_MAX_GS_COLORS = 16
 
 
 @jax.tree_util.register_pytree_node_class
@@ -172,26 +173,34 @@ def _compile_smoother(lvl, spec, dtype, n_pad):
         omega = omega / max(approximate_spectral_radius(Acsr), 1e-300)
         return device_relaxation.richardson(omega, iterations)
 
-    if name in ("gauss_seidel", "sor", "gauss_seidel_ne", "gauss_seidel_nr"):
-        sweep = kwargs.get("sweep", "forward")
-        dinv = _device_dinv(Acsr, n_pad, dtype)
+    def _mcgs_or_chebyshev(sweep):
+        """Multicolor GS, unless the level needs so many colors (dense-ish
+        coarse graphs) that a Chebyshev sweep smooths equally well in a
+        fraction of the matvecs (each color costs one full SpMV)."""
         colors, ncolors = _colors_for(Acsr, n_pad)
-        return device_relaxation.multicolor_gs(
-            dinv, colors, ncolors, sweep=sweep, iterations=iterations)
+        if ncolors <= _MAX_GS_COLORS:
+            dinv = _device_dinv(Acsr, n_pad, dtype)
+            return device_relaxation.multicolor_gs(
+                dinv, colors, ncolors, sweep=sweep, iterations=iterations)
+        rho = approximate_spectral_radius(Acsr)
+        coefficients = chebyshev_polynomial_coefficients(
+            rho / 30.0, 1.1 * rho, 4)
+        return device_relaxation.polynomial(coefficients, iterations)
+
+    if name in ("gauss_seidel", "sor", "gauss_seidel_ne", "gauss_seidel_nr"):
+        return _mcgs_or_chebyshev(kwargs.get("sweep", "forward"))
 
     if name == "block_gauss_seidel":
         bs = kwargs.get("blocksize")
         if bs is None:
             bs = A.blocksize[0] if sp.issparse(A) and A.format == "bsr" else 1
         if bs == 1 or n_pad % bs != 0:
-            sweep = kwargs.get("sweep", "forward")
-            dinv = _device_dinv(Acsr, n_pad, dtype)
-            colors, ncolors = _colors_for(Acsr, n_pad)
-            return device_relaxation.multicolor_gs(
-                dinv, colors, ncolors, sweep=sweep, iterations=iterations)
+            return _mcgs_or_chebyshev(kwargs.get("sweep", "forward"))
         nb_pad = n_pad // bs
-        Dinv = _device_block_dinv(A, bs, nb_pad, dtype)
         colors, ncolors = _block_colors_for(A, bs, nb_pad)
+        if ncolors > _MAX_GS_COLORS:
+            return _mcgs_or_chebyshev(kwargs.get("sweep", "forward"))
+        Dinv = _device_block_dinv(A, bs, nb_pad, dtype)
         return device_relaxation.block_multicolor_gs(
             Dinv, colors, ncolors, sweep=kwargs.get("sweep", "forward"),
             iterations=iterations)
@@ -256,11 +265,7 @@ def _compile_smoother(lvl, spec, dtype, n_pad):
     warnings.warn(
         f"smoother '{name}' has no device form; substituting hybrid "
         "multicolor Gauss-Seidel (convergence-equivalent TPU smoother)")
-    dinv = _device_dinv(Acsr, n_pad, dtype)
-    colors, ncolors = _colors_for(Acsr, n_pad)
-    return device_relaxation.multicolor_gs(
-        dinv, colors, ncolors, sweep=kwargs.get("sweep", "symmetric"),
-        iterations=iterations)
+    return _mcgs_or_chebyshev(kwargs.get("sweep", "symmetric"))
 
 
 def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
