@@ -317,27 +317,32 @@ def one_point_interpolation(A, C, splitting):
     """
     A = sp.csr_matrix(A)
     S = sp.csr_matrix(C)
+    S.sort_indices()
     splitting = np.asarray(splitting)
     n = A.shape[0]
     cmap, cpts = _coarse_index_map(splitting)
-    rows, cols, vals = [list(cpts)], [list(cmap[cpts])], [
-        list(np.ones(len(cpts)))]
-    indptr, indices, sdata = S.indptr, S.indices, np.abs(S.data)
-    for i in np.flatnonzero(splitting == F_NODE):
-        s0, s1 = indptr[i], indptr[i + 1]
-        nb = indices[s0:s1]
-        sv = sdata[s0:s1]
-        mask = (splitting[nb] == C_NODE) & (nb != i)
-        if not mask.any():
-            continue
-        j = nb[mask][np.argmax(sv[mask])]
-        rows.append([i])
-        cols.append([cmap[j]])
-        vals.append([1.0])
-    P = sp.csr_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(n, len(cpts)),
-    )
+    # vectorized strongest-C-neighbor argmax per row
+    srows = np.repeat(np.arange(n), np.diff(S.indptr))
+    eligible = (splitting[S.indices] == C_NODE) & (S.indices != srows)
+    meas = np.where(eligible, np.abs(S.data), -1.0)
+    best_val = np.full(n, -1.0)
+    np.maximum.at(best_val, srows, meas)
+    # first entry attaining the row max (ties -> lowest index by argmax scan)
+    hit = eligible & (meas == best_val[srows]) & (best_val[srows] > -1.0)
+    # keep only the first hit per row
+    first = np.zeros(len(hit), dtype=bool)
+    if hit.any():
+        hit_rows = srows[hit]
+        idx_hit = np.flatnonzero(hit)
+        keep_first = np.ones(len(idx_hit), dtype=bool)
+        keep_first[1:] = hit_rows[1:] != hit_rows[:-1]
+        first[idx_hit[keep_first]] = True
+    frows = srows[first]
+    fmask = splitting[frows] == F_NODE
+    rows = np.concatenate([cpts, frows[fmask]])
+    cols = np.concatenate([cmap[cpts], cmap[S.indices[first][fmask]]])
+    vals = np.ones(len(rows))
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, len(cpts)))
     P.sort_indices()
     return P
 
@@ -388,34 +393,37 @@ def local_air(A, splitting, theta=0.1, degree=1):
     sizes = np.array([len(N) for N in nbhds])
     R_rows, R_cols, R_vals = [np.asarray(cmap[cpts])], [np.asarray(cpts)], [
         np.ones(nc)]
+    # global sorted (row, col) keys of A for vectorized block extraction
+    arows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    akeys = arows * n + indices
+
+    def lookup(qrows, qcols):
+        """A[qrows, qcols] for equal-shape index arrays (0 where absent)."""
+        q = qrows.astype(np.int64) * n + qcols
+        pos = np.searchsorted(akeys, q.ravel())
+        pos = np.minimum(pos, len(akeys) - 1)
+        hit = akeys[pos] == q.ravel()
+        out = np.where(hit, adata[pos], 0.0)
+        return out.reshape(q.shape)
+
     # batch by neighborhood size
-    Ad = None
     for m in np.unique(sizes):
         if m == 0:
             continue
         sel = np.flatnonzero(sizes == m)
         idxs = np.stack([nbhds[s] for s in sel])          # (nb, m)
-        # local systems A[N, N]^T (solve w A[N,N] = -A[c,N])
-        blocks = np.zeros((len(sel), m, m))
-        rhs = np.zeros((len(sel), m))
-        for bi, s in enumerate(sel):
-            N = nbhds[s]
-            c = cpts[s]
-            sub = A[N][:, N].toarray()
-            blocks[bi] = sub.T
-            arow = np.zeros(n)
-            s0, s1 = indptr[c], indptr[c + 1]
-            arow[indices[s0:s1]] = adata[s0:s1]
-            rhs[bi] = -arow[N]
+        # local systems (solve w A[N,N] = -A[c,N]  =>  A[N,N]^T w^T = ...)
+        blocks = lookup(idxs[:, :, None], idxs[:, None, :])        # (nb,m,m)
+        blocks = np.swapaxes(blocks, 1, 2)                         # transpose
+        rhs = -lookup(np.asarray(cpts)[sel][:, None], idxs)        # (nb, m)
         try:
             w = np.linalg.solve(blocks, rhs[..., None])[..., 0]
         except np.linalg.LinAlgError:
             w = np.stack([np.linalg.lstsq(blocks[bi], rhs[bi], rcond=None)[0]
                           for bi in range(len(sel))])
-        for bi, s in enumerate(sel):
-            R_rows.append(np.full(m, cmap[cpts[s]]))
-            R_cols.append(idxs[bi])
-            R_vals.append(w[bi])
+        R_rows.append(np.repeat(cmap[np.asarray(cpts)[sel]], m))
+        R_cols.append(idxs.ravel())
+        R_vals.append(w.ravel())
 
     R = sp.csr_matrix(
         (np.concatenate(R_vals), (np.concatenate(R_rows),
