@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+from ..strength import _recount_indptr
 from .split import C_NODE, F_NODE
 
 __all__ = [
@@ -370,27 +371,32 @@ def local_air(A, splitting, theta=0.1, degree=1):
     indptr, indices, adata = A.indptr, A.indices, A.data
     absdata = np.abs(adata)
 
-    # neighborhoods per C point
-    nbhds = []
-    for c in cpts:
-        s0, s1 = indptr[c], indptr[c + 1]
-        cols = indices[s0:s1]
-        av = absdata[s0:s1]
-        thresh = theta * av.max() if len(av) else 0.0
-        keep = (av >= thresh) & (splitting[cols] == F_NODE) & (cols != c)
-        N = set(cols[keep].tolist())
-        if degree >= 2:
-            frontier = list(N)
-            for f in frontier:
-                f0, f1 = indptr[f], indptr[f + 1]
-                fc = indices[f0:f1]
-                fv = absdata[f0:f1]
-                th2 = theta * fv.max() if len(fv) else 0.0
-                k2 = (fv >= th2) & (splitting[fc] == F_NODE) & (fc != f)
-                N.update(fc[k2].tolist())
-        nbhds.append(np.fromiter(sorted(N), dtype=np.int64, count=len(N)))
-
-    sizes = np.array([len(N) for N in nbhds])
+    # thresholded F-column adjacency W (per-row relative threshold),
+    # then neighborhoods via boolean sparse products:
+    #   degree 1: N = W[Cpts];  degree 2: N = (W[Cpts] + W[Cpts] @ W_FF)
+    arows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    rowmax = np.zeros(n)
+    np.maximum.at(rowmax, arows, absdata)
+    keep = ((absdata >= theta * rowmax[arows])
+            & (splitting[indices] == F_NODE) & (indices != arows))
+    W = sp.csr_matrix(
+        (np.ones(int(keep.sum()), dtype=np.int8),
+         indices[keep], _recount_indptr(keep, indptr, n)),
+        shape=(n, n))
+    N1 = W[cpts]
+    if degree >= 2:
+        U = ((N1 + N1 @ W) > 0).tocsr()
+        # N1 @ W may reach C columns through F; drop non-F columns
+        colmask = np.ones(U.nnz, dtype=bool)
+        colmask &= splitting[U.indices] == F_NODE
+        U = sp.csr_matrix(
+            (np.ones(int(colmask.sum()), dtype=np.int8), U.indices[colmask],
+             _recount_indptr(colmask, U.indptr, nc)), shape=(nc, n))
+    else:
+        U = (N1 > 0).tocsr()
+    U.sort_indices()
+    nbhds = [U.indices[U.indptr[i]: U.indptr[i + 1]] for i in range(nc)]
+    sizes = np.diff(U.indptr)
     R_rows, R_cols, R_vals = [np.asarray(cmap[cpts])], [np.asarray(cpts)], [
         np.ones(nc)]
     # global sorted (row, col) keys of A for vectorized block extraction
