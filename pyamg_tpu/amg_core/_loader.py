@@ -27,6 +27,7 @@ NATIVE_EXPORTS = [
     "rs_classical_interpolation",
     "gauss_seidel_indexed",
     "gauss_seidel_ne",
+    "gauss_seidel_nr",
 ]
 
 _cached = None
@@ -90,6 +91,11 @@ class _Native:
         lib.gauss_seidel_indexed.restype = None
         lib.gauss_seidel_indexed.argtypes = [
             ctypes.c_int64, i64, i64, f64, f64, f64, i64, ctypes.c_int64,
+        ]
+        lib.gauss_seidel_nr.restype = None
+        lib.gauss_seidel_nr.argtypes = [
+            ctypes.c_int64, i64, i64, f64, f64, f64, f64,
+            ctypes.c_int64, ctypes.c_double,
         ]
         lib.gauss_seidel_ne.restype = None
         lib.gauss_seidel_ne.argtypes = [
@@ -205,6 +211,23 @@ class _Native:
         self._lib.gauss_seidel_indexed(
             n, self._ptr_i(indptr), self._ptr_i(indices), self._ptr_f(data),
             self._ptr_f(x), self._ptr_f(b), self._ptr_i(order), n,
+        )
+
+    def gauss_seidel_nr(self, indptr, indices, data, x, r, col_norms,
+                        direction, omega):
+        ncols = len(indptr) - 1
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        if x.dtype != np.float64 or not x.flags.c_contiguous:
+            raise TypeError("x must be contiguous float64 for native GS-NR")
+        if r.dtype != np.float64 or not r.flags.c_contiguous:
+            raise TypeError("r must be contiguous float64 for native GS-NR")
+        col_norms = np.ascontiguousarray(col_norms, dtype=np.float64)
+        self._lib.gauss_seidel_nr(
+            ncols, self._ptr_i(indptr), self._ptr_i(indices),
+            self._ptr_f(data), self._ptr_f(x), self._ptr_f(r),
+            self._ptr_f(col_norms), int(direction), float(omega),
         )
 
     def gauss_seidel_ne(self, indptr, indices, data, x, b, row_norms,

@@ -360,6 +360,29 @@ void gauss_seidel_indexed(int64_t n_order, const int64_t* indptr,
   }
 }
 
+// Gauss-Seidel on the normal equations A^H A (column action): for each
+// column j (in order), apply the residual-minimizing correction along
+// A's j-th column.  Caller passes A in CSC (indptr/indices/data over
+// columns) plus the current residual r = b - A x (updated in place).
+void gauss_seidel_nr(int64_t ncols, const int64_t* indptr,
+                     const int64_t* indices, const double* data, double* x,
+                     double* r, const double* col_norms, int64_t direction,
+                     double omega) {
+  int64_t start = direction >= 0 ? 0 : ncols - 1;
+  int64_t stop = direction >= 0 ? ncols : -1;
+  int64_t step = direction >= 0 ? 1 : -1;
+  for (int64_t j = start; j != stop; j += step) {
+    if (col_norms[j] == 0.0) continue;
+    double dot = 0.0;
+    for (int64_t k = indptr[j]; k < indptr[j + 1]; ++k)
+      dot += data[k] * r[indices[k]];
+    double delta = omega * dot / col_norms[j];
+    x[j] += delta;
+    for (int64_t k = indptr[j]; k < indptr[j + 1]; ++k)
+      r[indices[k]] -= delta * data[k];
+  }
+}
+
 // Kaczmarz (Gauss-Seidel on A A^H): sequential row projections.
 void gauss_seidel_ne(int64_t n, const int64_t* indptr,
                      const int64_t* indices, const double* data, double* x,

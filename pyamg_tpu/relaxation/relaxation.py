@@ -402,8 +402,18 @@ def gauss_seidel_nr(A, x, b, iterations=1, sweep="forward", omega=1.0):
             gauss_seidel_nr(A, x, b, 1, "backward", omega)
         return x
     order = range(n) if sweep == "forward" else range(n - 1, -1, -1)
-    r = b - A @ x
+    r = np.ascontiguousarray(b - A @ x)
+    _native = None
+    if x.dtype == np.float64 and not np.iscomplexobj(data):
+        try:
+            from ..amg_core import gauss_seidel_nr as _native
+        except Exception:
+            _native = None
     for _ in range(int(iterations)):
+        if _native is not None and x.flags.c_contiguous:
+            _native(indptr, rows, data, x, r, col_norms,
+                    1 if sweep == "forward" else -1, float(omega))
+            continue
         for j in order:
             s, e = indptr[j], indptr[j + 1]
             if col_norms[j] == 0:
