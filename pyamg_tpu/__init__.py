@@ -32,7 +32,7 @@ from .strength import (
     symmetric_strength_of_connection,
 )
 
-__version__ = "0.1.0"
+from .version import version as __version__
 
 __all__ = [
     "__version__",
@@ -61,3 +61,22 @@ def test():  # pragma: no cover
     import pytest
 
     return pytest.main(["-q", "tests/"])
+
+
+def show_config():  # pragma: no cover
+    """Print backend/runtime diagnostics (TPU availability, amg_core)."""
+    import numpy as _np
+    import scipy as _sp
+
+    from . import amg_core as _core
+
+    print(f"pyamg_tpu {__version__}")
+    print(f"  numpy {_np.__version__}, scipy {_sp.__version__}")
+    print(f"  native amg_core: {_core.AVAILABLE}")
+    try:
+        import jax as _jax
+
+        print(f"  jax {_jax.__version__}, backend {_jax.default_backend()}, "
+              f"devices {_jax.device_count()}")
+    except Exception as exc:  # noqa: BLE001
+        print(f"  jax unavailable: {exc}")
