@@ -40,6 +40,14 @@ def _build():
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     sofile = os.path.join(_HERE, f"_amg_core_{digest}.so")
+    # drop stale builds of older source revisions
+    for old in os.listdir(_HERE):
+        if (old.startswith("_amg_core_") and old.endswith(".so")
+                and os.path.join(_HERE, old) != sofile):
+            try:
+                os.remove(os.path.join(_HERE, old))
+            except OSError:
+                pass
     if not os.path.exists(sofile):
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",

@@ -229,3 +229,20 @@ def test_compute_btbinv():
         Bi = B[cols]
         np.testing.assert_allclose(G[i], np.linalg.pinv(Bi.T @ Bi),
                                    atol=1e-10)
+
+
+def test_hierarchy_roundtrip_classical(tmp_path):
+    """RS hierarchies (with splitting + GS smoothers) serialize too."""
+    from pyamg_tpu import ruge_stuben_solver
+
+    A = poisson((14, 14), format="csr")
+    ml = ruge_stuben_solver(A)
+    path = os.path.join(tmp_path, "rs.npz")
+    save_hierarchy(ml, path)
+    ml2 = load_hierarchy(path)
+    assert hasattr(ml2.levels[0], "splitting")
+    b = np.random.default_rng(3).random(A.shape[0])
+    r1, r2 = [], []
+    ml.solve(b, tol=1e-8, maxiter=15, residuals=r1)
+    ml2.solve(b, tol=1e-8, maxiter=15, residuals=r2)
+    np.testing.assert_allclose(r1, r2, rtol=1e-10)
