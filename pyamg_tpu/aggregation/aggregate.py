@@ -260,6 +260,13 @@ def _one_pairwise_matching(A, theta=0.25, norm="min"):
     n_strong = np.zeros(n, dtype=np.int64)
     np.add.at(n_strong, rows[strong], 1)
     order = np.argsort(n_strong, kind="stable")
+    try:
+        from ..amg_core import pairwise_matching as _native
+    except Exception:
+        _native = None
+    if _native is not None and not np.iscomplexobj(data):
+        assignment, _count = _native(indptr, indices, data, order)
+        return assignment
     count = 0
     for i in order:
         if assignment[i] != -1:

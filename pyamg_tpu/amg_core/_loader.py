@@ -23,6 +23,7 @@ NATIVE_EXPORTS = [
     "gauss_seidel",
     "standard_aggregation",
     "naive_aggregation",
+    "pairwise_matching",
     "rs_cf_splitting",
     "rs_classical_interpolation",
     "gauss_seidel_indexed",
@@ -77,6 +78,9 @@ class _Native:
         lib.standard_aggregation.argtypes = [ctypes.c_int64, i64, i64, i64, i64]
         lib.naive_aggregation.restype = ctypes.c_int64
         lib.naive_aggregation.argtypes = [ctypes.c_int64, i64, i64, i64, i64]
+        lib.pairwise_matching.restype = ctypes.c_int64
+        lib.pairwise_matching.argtypes = [ctypes.c_int64, i64, i64, f64,
+                                          i64, i64]
         lib.rs_cf_splitting.restype = None
         lib.rs_cf_splitting.argtypes = [
             ctypes.c_int64, i64, i64, i64, i64, ctypes.c_int64, i64,
@@ -146,6 +150,19 @@ class _Native:
             self._ptr_i(x), self._ptr_i(roots),
         )
         return x, roots[:n_agg].copy()
+
+    def pairwise_matching(self, indptr, indices, data, order):
+        n = len(indptr) - 1
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        order = self._i64(order)
+        assignment = np.full(n, -1, dtype=np.int64)
+        count = self._lib.pairwise_matching(
+            n, self._ptr_i(indptr), self._ptr_i(indices), self._ptr_f(data),
+            self._ptr_i(order), self._ptr_i(assignment),
+        )
+        return assignment, int(count)
 
     def rs_cf_splitting(self, Sp, Sj, Tp, Tj, second_pass=False):
         n = len(Sp) - 1

@@ -93,6 +93,35 @@ int64_t naive_aggregation(int64_t n, const int64_t* indptr,
   return n_agg;
 }
 
+// One Notay pairwise-matching round (SURVEY.md §2.2 pairwise
+// aggregation): visit nodes in the given order; an unmatched node pairs
+// with its strongest-negative-coupling unmatched neighbor.
+// Returns the number of aggregates formed.
+int64_t pairwise_matching(int64_t n, const int64_t* indptr,
+                          const int64_t* indices, const double* data,
+                          const int64_t* order, int64_t* assignment) {
+  int64_t count = 0;
+  for (int64_t oi = 0; oi < n; ++oi) {
+    int64_t i = order[oi];
+    if (assignment[i] != -1) continue;
+    int64_t best_j = -1;
+    double best_v = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t j = indices[k];
+      if (j == i || assignment[j] != -1) continue;
+      double v = -data[k];
+      if (v > best_v) {
+        best_v = v;
+        best_j = j;
+      }
+    }
+    assignment[i] = count;
+    if (best_j >= 0) assignment[best_j] = count;
+    ++count;
+  }
+  return count;
+}
+
 // ---------------------------------------------------------------------
 // Ruge-Stuben C/F splitting (SURVEY.md §2.4 ruge_stuben.h semantics)
 // ---------------------------------------------------------------------
