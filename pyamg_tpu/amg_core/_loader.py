@@ -26,6 +26,7 @@ NATIVE_EXPORTS = [
     "pairwise_matching",
     "rs_cf_splitting",
     "rs_classical_interpolation",
+    "rs_distance_two_interpolation",
     "gauss_seidel_indexed",
     "gauss_seidel_ne",
     "gauss_seidel_nr",
@@ -97,6 +98,15 @@ class _Native:
         ]
         lib.rs_classical_interpolation_pass2.restype = None
         lib.rs_classical_interpolation_pass2.argtypes = [
+            ctypes.c_int64, i64, i64, f64, i8, i64, i64, ctypes.c_int64,
+            i64, i64, f64,
+        ]
+        lib.rs_distance_two_interpolation_pass1.restype = None
+        lib.rs_distance_two_interpolation_pass1.argtypes = [
+            ctypes.c_int64, i64, i64, i8, i64, i64,
+        ]
+        lib.rs_distance_two_interpolation_pass2.restype = None
+        lib.rs_distance_two_interpolation_pass2.argtypes = [
             ctypes.c_int64, i64, i64, f64, i8, i64, i64, ctypes.c_int64,
             i64, i64, f64,
         ]
@@ -214,6 +224,39 @@ class _Native:
         Pj = np.zeros(nnz, dtype=np.int64)
         Px = np.zeros(nnz, dtype=np.float64)
         self._lib.rs_classical_interpolation_pass2(
+            n, self._ptr_i(indptr), self._ptr_i(indices), self._ptr_f(data),
+            p_i8(strong), self._ptr_i(splitting), self._ptr_i(cmap),
+            1 if modified else 0, self._ptr_i(Pp), self._ptr_i(Pj),
+            self._ptr_f(Px),
+        )
+        P = sp.csr_matrix((Px, Pj, Pp), shape=(n, int(nc)))
+        P.eliminate_zeros()
+        P.sort_indices()
+        return P
+
+    def rs_distance_two_interpolation(self, indptr, indices, data, strong,
+                                      splitting, cmap, nc, modified=True):
+        """Two-pass distance-two interpolation; returns scipy CSR P."""
+        import scipy.sparse as sp
+
+        n = len(indptr) - 1
+        indptr = self._i64(indptr)
+        indices = self._i64(indices)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        strong = np.ascontiguousarray(strong, dtype=np.int8)
+        splitting = self._i64(splitting)
+        cmap = self._i64(cmap)
+        counts = np.zeros(n, dtype=np.int64)
+        p_i8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+        self._lib.rs_distance_two_interpolation_pass1(
+            n, self._ptr_i(indptr), self._ptr_i(indices), p_i8(strong),
+            self._ptr_i(splitting), self._ptr_i(counts),
+        )
+        Pp = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=Pp[1:])
+        Pj = np.zeros(int(Pp[-1]), dtype=np.int64)
+        Px = np.zeros(int(Pp[-1]), dtype=np.float64)
+        self._lib.rs_distance_two_interpolation_pass2(
             n, self._ptr_i(indptr), self._ptr_i(indices), self._ptr_f(data),
             p_i8(strong), self._ptr_i(splitting), self._ptr_i(cmap),
             1 if modified else 0, self._ptr_i(Pp), self._ptr_i(Pj),

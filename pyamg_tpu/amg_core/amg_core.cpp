@@ -350,6 +350,108 @@ void rs_classical_interpolation_pass2(
 }
 
 // ---------------------------------------------------------------------
+// Distance-two ("extended+i") interpolation, two-pass (SURVEY.md §2.2)
+// ---------------------------------------------------------------------
+// Interpolatory set of F point i: strong C neighbors plus the C
+// neighbors reached through strong F neighbors.
+
+void rs_distance_two_interpolation_pass1(
+    int64_t n, const int64_t* Ap, const int64_t* Aj, const int8_t* strong,
+    const int64_t* splitting, int64_t* counts) {
+  std::vector<int64_t> marker(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    if (splitting[i] == 1) {
+      counts[i] = 1;
+      continue;
+    }
+    int64_t cnt = 0;
+    for (int64_t k = Ap[i]; k < Ap[i + 1]; ++k) {
+      int64_t j = Aj[k];
+      if (!strong[k] || j == i) continue;
+      if (splitting[j] == 1) {
+        if (marker[j] != i) { marker[j] = i; ++cnt; }
+      } else {  // strong F neighbor: extend through its C neighbors
+        for (int64_t kk = Ap[j]; kk < Ap[j + 1]; ++kk) {
+          int64_t c = Aj[kk];
+          if (splitting[c] == 1 && marker[c] != i) {
+            marker[c] = i;
+            ++cnt;
+          }
+        }
+      }
+    }
+    counts[i] = cnt;
+  }
+}
+
+void rs_distance_two_interpolation_pass2(
+    int64_t n, const int64_t* Ap, const int64_t* Aj, const double* Ax,
+    const int8_t* strong, const int64_t* splitting, const int64_t* cmap,
+    int64_t modified, const int64_t* Pp, int64_t* Pj, double* Px) {
+  std::vector<int64_t> marker(n, -1);    // col -> slot in current row
+  std::vector<int64_t> ext_marker(n, -1);  // membership of extended C set
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t pstart = Pp[i];
+    if (splitting[i] == 1) {
+      Pj[pstart] = cmap[i];
+      Px[pstart] = 1.0;
+      continue;
+    }
+    int64_t nlocal = 0;
+    double diag = 0.0;
+    auto add_slot = [&](int64_t c) {
+      if (marker[c] < 0) {
+        marker[c] = nlocal;
+        Pj[pstart + nlocal] = c;
+        Px[pstart + nlocal] = 0.0;
+        ++nlocal;
+      }
+      ext_marker[c] = i;
+    };
+    // build extended set + direct strong-C weights + diagonal lumping
+    for (int64_t k = Ap[i]; k < Ap[i + 1]; ++k) {
+      int64_t j = Aj[k];
+      double a = Ax[k];
+      if (j == i) { diag += a; continue; }
+      if (!strong[k]) { diag += a; continue; }
+      if (splitting[j] == 1) {
+        add_slot(j);
+        Px[pstart + marker[j]] -= a;
+      } else {
+        for (int64_t kk = Ap[j]; kk < Ap[j + 1]; ++kk) {
+          int64_t c = Aj[kk];
+          if (splitting[c] == 1) add_slot(c);
+        }
+      }
+    }
+    // distribute strong F-F connections over the extended set
+    for (int64_t k = Ap[i]; k < Ap[i + 1]; ++k) {
+      int64_t m = Aj[k];
+      if (m == i || !strong[k] || splitting[m] != 0) continue;
+      double a_im = Ax[k];
+      double denom = 0.0;
+      for (int64_t kk = Ap[m]; kk < Ap[m + 1]; ++kk)
+        if (ext_marker[Aj[kk]] == i) denom += Ax[kk];
+      if (denom == 0.0) {
+        if (modified) diag += a_im;
+        continue;
+      }
+      double scale = a_im / denom;
+      for (int64_t kk = Ap[m]; kk < Ap[m + 1]; ++kk) {
+        int64_t c = Aj[kk];
+        if (ext_marker[c] == i) Px[pstart + marker[c]] -= scale * Ax[kk];
+      }
+    }
+    for (int64_t s = 0; s < nlocal; ++s) {
+      int64_t c = Pj[pstart + s];
+      marker[c] = -1;
+      Pj[pstart + s] = cmap[c];
+      Px[pstart + s] = (diag != 0.0) ? Px[pstart + s] / diag : 0.0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
 // Sequential relaxation sweeps (SURVEY.md §2.4 relaxation.h semantics)
 // ---------------------------------------------------------------------
 

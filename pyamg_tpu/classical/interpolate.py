@@ -241,6 +241,15 @@ def distance_two_interpolation(A, C, splitting):
     nc = len(cpts)
     strong = _pattern_membership(A, S)
 
+    if not np.iscomplexobj(A.data):
+        try:
+            from ..amg_core import rs_distance_two_interpolation as _native
+        except Exception:
+            _native = None
+        if _native is not None:
+            return _native(A.indptr, A.indices, A.data, strong, splitting,
+                           cmap, nc, modified=True)
+
     indptr, indices, a = A.indptr, A.indices, A.data
     P_rows, P_cols, P_vals = [], [], []
     for i in range(n):
