@@ -98,3 +98,22 @@ def test_krylov_dots_partition():
     # may choose replication for tiny n inside the while_loop)
     x, hist, it = jax.jit(run)(d_s, b, x0)
     np.testing.assert_allclose(np.asarray(x), 1.0 / np.asarray(d), atol=1e-5)
+
+
+def test_pallas_halo_spmv_experimental():
+    """The remote-DMA halo kernel builds; execution needs hardware this
+    environment lacks (see pallas_halo.py STATUS)."""
+    from pyamg_tpu.parallel.pallas_halo import make_pallas_halo_spmv
+    from pyamg_tpu.sparse import dia_from_scipy
+
+    A = poisson((16, 16), format="csr")
+    dia = dia_from_scipy(A, dtype=jnp.float32, row_pad=128)
+    mesh = jax.make_mesh((1,), ("x",),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+    spmv, place = make_pallas_halo_spmv(dia, mesh)  # builds
+    assert callable(spmv) and callable(place)
+    # halo-sizing validation: a padding not divisible by 128*mesh errors
+    dia_bad = dia_from_scipy(A, dtype=jnp.float32, row_pad=8)
+    if dia_bad.n_pad % 128 != 0:
+        with pytest.raises(ValueError):
+            make_pallas_halo_spmv(dia_bad, mesh)
