@@ -83,6 +83,17 @@ def adaptive_sa_solver(
             B = B.reshape(-1, 1)
     ml = build(B)
 
+    # polish the bootstrapped candidate through the hierarchy itself (the
+    # reference's initial_setup_stage relaxes at every level; cycling on
+    # A x = 0 achieves the same exposure of algebraically smooth error)
+    if initial_candidates is None:
+        x = _run_homogeneous(ml, B[:, 0].copy(), candidate_iters, [])
+        work += candidate_iters * ml.cycle_complexity()
+        nrm = norm(x)
+        if nrm > 0:
+            B = (x / nrm).reshape(-1, 1)
+            ml = build(B)
+
     # ----- general setup stages: add candidates -----
     while B.shape[1] < num_candidates:
         x = rng.random(n) - 0.5
