@@ -29,7 +29,17 @@ def cg(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
     p = z.copy()
     rz = np.inner(r.conj(), z)
 
-    normr = norm(r)
+    # the monitored quantity depends on the stopping criteria
+    # ([R] pyamg/krylov/_cg.py): 'rr'/'rr+' watch ||r||; 'rMr' the
+    # preconditioner energy norm sqrt(<r, Mr>); 'MrMr' ||Mr||
+    def monitored(r, z, rz):
+        if criteria == "rMr":
+            return float(np.sqrt(abs(rz)))
+        if criteria == "MrMr":
+            return norm(z)
+        return norm(r)
+
+    normr = monitored(r, z, rz)
     if residuals is not None:
         residuals.append(normr)
 
@@ -38,8 +48,12 @@ def cg(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
         rtol = tol * (normb if normb != 0 else 1.0)
     elif criteria == "rr+":
         rtol = tol * (normb + normr)
-    elif criteria in ("MrMr", "rMr"):
-        rtol = tol * np.sqrt(abs(np.inner((M @ b).conj(), b))) if M is not None else tol * normb
+    elif criteria == "rMr":
+        Mb = M @ b if M is not None else b
+        rtol = tol * np.sqrt(abs(np.inner(b.conj(), Mb)))
+    elif criteria == "MrMr":
+        Mb = M @ b if M is not None else b
+        rtol = tol * norm(Mb)
     else:
         raise ValueError(f"invalid stopping criteria: {criteria}")
     if rtol == 0:
@@ -58,17 +72,31 @@ def cg(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
         x += alpha * p
         r -= alpha * Ap
         it += 1
-        normr = norm(r)
-        if residuals is not None:
-            residuals.append(normr)
-        if callback is not None:
-            callback(x)
-        if normr < rtol:
-            return (x, 0)
-        if it >= maxiter:
-            return (x, it)
-        z = M @ r if M is not None else r
-        rz_new = np.inner(r.conj(), z)
+        if criteria in ("rr", "rr+"):
+            # avoid a final (possibly expensive) preconditioner apply
+            normr = norm(r)
+            if residuals is not None:
+                residuals.append(normr)
+            if callback is not None:
+                callback(x)
+            if normr < rtol:
+                return (x, 0)
+            if it >= maxiter:
+                return (x, it)
+            z = M @ r if M is not None else r
+            rz_new = np.inner(r.conj(), z)
+        else:
+            z = M @ r if M is not None else r
+            rz_new = np.inner(r.conj(), z)
+            normr = monitored(r, z, rz_new)
+            if residuals is not None:
+                residuals.append(normr)
+            if callback is not None:
+                callback(x)
+            if normr < rtol:
+                return (x, 0)
+            if it >= maxiter:
+                return (x, it)
         beta = rz_new / rz
         rz = rz_new
         p = z + beta * p

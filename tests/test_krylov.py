@@ -100,3 +100,17 @@ def test_complex_cg():
     x, info = krylov.cg(A, b, tol=1e-10, maxiter=500)
     assert info == 0
     np.testing.assert_allclose(A @ x, b, atol=1e-7)
+
+
+@pytest.mark.parametrize("criteria", ["rr", "rr+", "rMr", "MrMr"])
+def test_cg_criteria(criteria):
+    A, b, x_exact = spd_system()
+    from scipy.sparse.linalg import LinearOperator
+    dinv = 1.0 / A.diagonal()
+    M = LinearOperator(A.shape, matvec=lambda v: dinv * v)
+    res = []
+    x, info = krylov.cg(A, b, tol=1e-10, maxiter=2000, M=M,
+                        criteria=criteria, residuals=res)
+    assert info == 0, criteria
+    np.testing.assert_allclose(x, x_exact, atol=1e-5)
+    assert res[0] > res[-1]
