@@ -104,3 +104,37 @@ def test_matrix_formats():
     b = np.ones(A.shape[0])
     x = ml.solve(b, tol=1e-8)
     np.testing.assert_allclose(A @ x, b, atol=1e-4)
+
+
+def test_chebyshev_smoother_spec():
+    """('chebyshev', {}) spec resolves host-side and on device."""
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine import as_device_solver
+
+    A = poisson((24, 24), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("chebyshev", {"degree": 3}),
+        postsmoother=("chebyshev", {"degree": 3}), max_coarse=10)
+    b = np.random.default_rng(7).random(A.shape[0])
+    res = []
+    ml.solve(b, tol=1e-8, maxiter=40, residuals=res)
+    factor = (res[-1] / res[0]) ** (1.0 / (len(res) - 1))
+    assert factor < 0.45, factor  # degree-3 Chebyshev: modest smoother
+    dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    res_d = []
+    x = dml.solve(b, tol=1e-8, maxiter=40, residuals=res_d)
+    # chebyshev is order-free: device matches host exactly
+    np.testing.assert_allclose(res_d, res[: len(res_d)], rtol=1e-9)
+
+
+def test_richardson_and_sor_specs():
+    A = poisson((16, 16), format="csr")
+    for pre in (("richardson", {"omega": 1.0}),
+                ("sor", {"omega": 1.2, "sweep": "symmetric"})):
+        ml = smoothed_aggregation_solver(A, presmoother=pre,
+                                         postsmoother=pre, max_coarse=10)
+        b = np.random.default_rng(8).random(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert res[-1] / res[0] < 1e-7, pre
