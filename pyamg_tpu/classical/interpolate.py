@@ -208,7 +208,8 @@ def classical_interpolation(A, C, splitting, modified=True):
         if diag == 0:
             continue
         jcols = np.fromiter(wrow.keys(), dtype=np.int64, count=len(wrow))
-        jvals = np.fromiter((wrow[j] for j in jcols), dtype=np.float64,
+        jvals = np.fromiter((wrow[j] for j in jcols),
+                            dtype=np.result_type(A.dtype, np.float64),
                             count=len(jcols))
         P_rows.append(np.full(len(jcols), i))
         P_cols.append(cmap[jcols])
@@ -293,7 +294,8 @@ def distance_two_interpolation(A, C, splitting):
         if diag == 0:
             continue
         jcols = np.fromiter(wrow.keys(), dtype=np.int64, count=len(wrow))
-        jvals = np.fromiter((wrow[j] for j in jcols), dtype=np.float64,
+        jvals = np.fromiter((wrow[j] for j in jcols),
+                            dtype=np.result_type(A.dtype, np.float64),
                             count=len(jcols))
         nzm = jvals != 0
         P_rows.append(np.full(nzm.sum(), i))

@@ -161,12 +161,52 @@ def _compile_smoother(lvl, spec, dtype, n_pad):
 
     iterations = int(kwargs.get("iterations", 1))
 
-    if name in ("jacobi", "jacobi_ne"):
+    if name == "jacobi":
         omega = float(kwargs.get("omega", 1.0))
         if kwargs.get("withrho", True):
             omega = omega / rho_D_inv_A(Acsr)
         dinv = _device_dinv(Acsr, n_pad, dtype)
         return device_relaxation.jacobi(dinv, omega, iterations)
+
+    if name in ("jacobi_ne", "gauss_seidel_ne", "gauss_seidel_nr"):
+        # Device NE/NR forms target the same normal equations as the
+        # reference (amg_core jacobi_ne / gauss_seidel_ne/nr) but in the
+        # TPU-parallel Cimmino form: x += omega * A^T Dinv (b - A x).
+        # Sequential Kaczmarz (gauss_seidel_ne/nr) has no parallel
+        # equivalent that preserves ordering — substitute the Jacobi-NE/NR
+        # sweep and say so (convergence-factor, not bitwise, parity).
+        if name != "jacobi_ne":
+            warnings.warn(
+                f"smoother '{name}' (sequential Kaczmarz) has no device "
+                "form; substituting the parallel Jacobi normal-equation "
+                "sweep (Cimmino) targeting the same normal equations")
+        omega = float(kwargs.get("omega", 1.0))
+        sq = Acsr.copy()
+        sq.data = np.abs(sq.data) ** 2
+        if name == "gauss_seidel_nr":
+            colnorm2 = np.asarray(sq.sum(axis=0)).ravel()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dvals = np.where(colnorm2 != 0, 1.0 / colnorm2, 0.0)
+        else:
+            rownorm2 = np.asarray(sq.sum(axis=1)).ravel()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dvals = np.where(rownorm2 != 0, 1.0 / rownorm2, 0.0)
+        if name != "jacobi_ne":
+            # Kaczmarz converges for any omega in (0,2); Cimmino needs
+            # omega < 2/rho(A^H D^-1 A).  Scale like withrho-Jacobi so
+            # the substituted sweep is unconditionally a smoother:
+            # rho(A^H D^-1 A) = ||D^-1/2 A||_2^2 (= rho(B^H B), B=D^-1/2 A).
+            scale = np.sqrt(np.where(dvals > 0, dvals, 0.0))
+            B = sp.diags(scale) @ Acsr if name == "gauss_seidel_ne" \
+                else Acsr @ sp.diags(scale)
+            rho_ne = approximate_spectral_radius((B.conj().T @ B).tocsr())
+            omega = omega / max(rho_ne, 1e-300)
+        out = np.zeros(n_pad, dtype=np.float64)
+        out[: len(dvals)] = dvals
+        dinv = jnp.asarray(out, dtype=dtype)
+        if name == "gauss_seidel_nr":
+            return device_relaxation.jacobi_nr(dinv, omega, iterations)
+        return device_relaxation.jacobi_ne(dinv, omega, iterations)
 
     if name == "richardson":
         omega = float(kwargs.get("omega", 1.0))

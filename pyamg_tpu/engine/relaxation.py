@@ -91,6 +91,30 @@ def polynomial(coefficients, iterations=1):
                           arrays=())
 
 
+def jacobi_ne(dinv_ne, omega, iterations=1):
+    """Cimmino form of the reference's NE (Kaczmarz) smoothers: Jacobi on
+    the normal equations A A^H y = b, x = A^H y, i.e.
+
+        x += omega * A^T (D_ne^{-1} (b - A x)),  D_ne = diag(A A^T).
+
+    ``dinv_ne[i] = 1/||A_i,:||^2`` (zero on padded rows).  Pure SpMV +
+    transpose-SpMV — gather-free via DIAMatrix.rmatvec."""
+    return DeviceSmoother(
+        config=("jacobi_ne", float(omega), int(iterations)),
+        arrays=(dinv_ne,))
+
+
+def jacobi_nr(dinv_nr, omega, iterations=1):
+    """Jacobi on the normal residual equations A^H A x = A^H b:
+
+        x += omega * D_nr^{-1} (A^T (b - A x)),  D_nr = diag(A^T A).
+
+    ``dinv_nr[j] = 1/||A_:,j||^2`` (zero on padded columns)."""
+    return DeviceSmoother(
+        config=("jacobi_nr", float(omega), int(iterations)),
+        arrays=(dinv_nr,))
+
+
 def masked_jacobi(dinv, masks, iters_per_mask, omega=1.0, iterations=1):
     """Ordered masked Jacobi (device cf/fc_jacobi): masks applied in
     order, each with its own sweep count."""
@@ -98,6 +122,16 @@ def masked_jacobi(dinv, masks, iters_per_mask, omega=1.0, iterations=1):
         config=("masked_jacobi", tuple(int(i) for i in iters_per_mask),
                 float(omega), int(iterations)),
         arrays=(dinv,) + tuple(masks))
+
+
+def _fit_len(v, n):
+    """Slice/zero-pad a padded vector to length n (format paddings of
+    rmatvec outputs can differ from the level's row padding)."""
+    if v.shape[0] == n:
+        return v
+    if v.shape[0] > n:
+        return v[:n]
+    return jnp.pad(v, (0, n - v.shape[0]))
 
 
 def apply_smoother(config, arrays, A, x, b):
@@ -173,6 +207,22 @@ def apply_smoother(config, arrays, A, x, b):
             for c in coefficients[1:]:
                 h = c * r + (A @ h)
             x = x + h
+        return x
+
+    if kind == "jacobi_ne":
+        _, omega, iterations = config
+        (dinv,) = arrays
+        for _ in range(iterations):
+            upd = A.rmatvec(dinv * (b - (A @ x)))
+            x = x + omega * _fit_len(upd, x.shape[0])
+        return x
+
+    if kind == "jacobi_nr":
+        _, omega, iterations = config
+        (dinv,) = arrays
+        for _ in range(iterations):
+            upd = A.rmatvec(b - (A @ x))
+            x = x + omega * (dinv * _fit_len(upd, x.shape[0]))
         return x
 
     if kind == "masked_jacobi":

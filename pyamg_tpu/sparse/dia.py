@@ -83,6 +83,19 @@ class DIAMatrix:
             Y = Y + self.data[d][:, None] * jnp.roll(X, -self.offsets[d], axis=0)
         return Y
 
+    def rmatvec(self, x):
+        """Transpose apply A.T @ x, still gather-free.
+
+        data[d, i] = A[i, i+off[d]] contributes A[i,j]*x[i] to y[j] with
+        j = i + off[d], i.e. y = sum_d roll(data[d] * x, +off[d]); padded
+        and out-of-range slots hold zero, so wrap-around terms vanish.
+        Powers the device NE/NR (Kaczmarz/Cimmino-form) smoothers.
+        """
+        y = jnp.roll(self.data[0] * x, self.offsets[0])
+        for d in range(1, len(self.offsets)):
+            y = y + jnp.roll(self.data[d] * x, self.offsets[d])
+        return y
+
     def __matmul__(self, x):
         if x.ndim == 1:
             return self.matvec(x)
@@ -148,6 +161,9 @@ class DenseOperator:
 
     def matvec(self, x):
         return jnp.dot(self.data, x, preferred_element_type=self.data.dtype)
+
+    def rmatvec(self, x):
+        return jnp.dot(x, self.data, preferred_element_type=self.data.dtype)
 
     def __matmul__(self, x):
         if x.ndim == 1:

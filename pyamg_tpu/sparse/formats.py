@@ -91,6 +91,13 @@ class ELLMatrix:
         gathered = jnp.take(X, self.indices, axis=0)       # (n_pad, k, m)
         return jnp.einsum("nk,nkm->nm", self.data, gathered)
 
+    def rmatvec(self, x, m_pad=None):
+        """A.T @ x via scatter-add (CPU-grade fallback, like matvec)."""
+        if m_pad is None:
+            m_pad = pad_to(self.shape[1], 8)
+        y = jnp.zeros(m_pad, dtype=self.dtype)
+        return y.at[self.indices].add(self.data * x[:, None])
+
     def __matmul__(self, x):
         if x.ndim == 1:
             return self.matvec(x)

@@ -172,6 +172,18 @@ class WindowedELL:
         )(self.starts, self.data, self.hi, self.lo, x2, x2)
         return y.reshape(-1)
 
+    def rmatvec(self, x):
+        """A.T @ x via scatter-add.
+
+        CPU-grade fallback (an XLA scatter — off the TPU hot path, like
+        _matvec_reference); exists so NE/NR smoothers stay traceable when
+        a level operator is windowed rather than DIA/dense."""
+        gidx = (self.starts[:, None, None] * self.w2
+                + self.hi * _LANES + self.lo)          # (n_blocks, k, BLOCK)
+        xb = x[: self.n_pad].reshape(self.data.shape[0], 1, self.block)
+        y = jnp.zeros(self.m_chunks * self.w2, dtype=self.dtype)
+        return y.at[gidx].add(self.data * xb)
+
     def __matmul__(self, x):
         if x.ndim != 1:
             raise NotImplementedError("WindowedELL matmat not implemented")

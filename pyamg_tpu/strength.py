@@ -103,8 +103,13 @@ def classical_strength_of_connection(A, theta=0.25, block=True, norm="abs"):
 
 
 def _recount_indptr(keep, indptr, n):
-    counts = np.add.reduceat(keep.astype(np.int64), indptr[:-1]) if keep.size else np.zeros(n, np.int64)
-    counts = counts * (np.diff(indptr) > 0)
+    # reduceat only at nonempty rows: an empty trailing row would put
+    # indptr[i] == len(keep) in the offset list, which reduceat rejects
+    # (and empty mid-rows would alias the next row's first element).
+    nz = np.diff(indptr) > 0
+    counts = np.zeros(n, np.int64)
+    if keep.size and nz.any():
+        counts[nz] = np.add.reduceat(keep.astype(np.int64), indptr[:-1][nz])
     new_indptr = np.zeros(n + 1, dtype=indptr.dtype)
     np.cumsum(counts, out=new_indptr[1:])
     return new_indptr

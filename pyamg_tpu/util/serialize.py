@@ -33,6 +33,24 @@ def _unpack_csr(prefix, data):
     )
 
 
+def _jsonable_kwargs(kwargs):
+    """Sanitize smoother-spec kwargs for json: numpy scalars -> python
+    scalars, arrays -> lists; a kwarg that still won't serialize drops the
+    whole spec to None (same policy as callables)."""
+    clean = {}
+    for key, val in dict(kwargs or {}).items():
+        if isinstance(val, np.generic):
+            val = val.item()
+        elif isinstance(val, np.ndarray):
+            val = val.tolist()
+        try:
+            json.dumps(val)
+        except TypeError:
+            return None
+        clean[key] = val
+    return clean
+
+
 def save_hierarchy(ml, path):
     """Serialize a MultilevelSolver's levels + smoother specs to .npz."""
     out = {}
@@ -57,7 +75,10 @@ def save_hierarchy(ml, path):
                 return None
             if callable(spec[0]):
                 return None  # custom callables are not serializable
-            return [spec[0], spec[1]]
+            kwargs = _jsonable_kwargs(spec[1])
+            if kwargs is None:
+                return None
+            return [spec[0], kwargs]
 
         specs.append({"pre": enc(pre), "post": enc(post)})
     meta["specs"] = specs

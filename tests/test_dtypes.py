@@ -53,3 +53,53 @@ def test_integer_matrix_upcast():
     b = np.ones(A.shape[0])
     x = ml.solve(b, tol=1e-8)
     assert np.linalg.norm(b - A.astype(float) @ x) < 1e-4
+
+
+def test_complex_classical_interpolation_weights():
+    """Regression (ADVICE r1): the Python path of classical/distance-two
+    interpolation built jvals with dtype=float64, silently discarding the
+    imaginary parts of complex interpolation weights."""
+    from pyamg_tpu.classical.interpolate import (classical_interpolation,
+                                                 distance_two_interpolation)
+    from pyamg_tpu.classical.split import RS
+
+    A = poisson((8, 8), format="csr").astype(complex)
+    # complex shift keeps A Hermitian-ish structure but complex weights
+    A = (A + 0.1j * sp.eye(A.shape[0], format="csr")).tocsr()
+    S = pyamg_tpu.classical_strength_of_connection(A, theta=0.25)
+    splitting = RS(S)
+    for interp in (classical_interpolation, distance_two_interpolation):
+        P = interp(A, S, splitting)
+        assert np.iscomplexobj(P.data)
+        assert np.abs(P.data.imag).max() > 0, "imaginary parts lost"
+
+
+def test_serialize_numpy_kwargs(tmp_path):
+    """Regression (ADVICE r1): smoother kwargs holding numpy scalars or
+    arrays crashed json.dumps at save time."""
+    from pyamg_tpu.util.serialize import load_hierarchy, save_hierarchy
+
+    from pyamg_tpu.relaxation.chebyshev import (
+        chebyshev_polynomial_coefficients)
+    from pyamg_tpu.util.linalg import approximate_spectral_radius
+
+    A = poisson((12, 12), format="csr")
+    rho = approximate_spectral_radius(A)
+    coeff = np.asarray(
+        chebyshev_polynomial_coefficients(rho / 30.0, 1.1 * rho, 3))
+    ml = pyamg_tpu.smoothed_aggregation_solver(
+        A,
+        presmoother=("jacobi", {"omega": np.float64(0.8),
+                                "withrho": True}),
+        postsmoother=("polynomial", {"coefficients": coeff}),
+    )
+    path = tmp_path / "h.npz"
+    save_hierarchy(ml, path)
+    ml2 = load_hierarchy(path)
+    # ndarray kwarg survived as a list
+    assert isinstance(
+        ml2.levels[0].postsmoother_spec[1]["coefficients"], list)
+    b = np.ones(A.shape[0])
+    res = []
+    ml2.solve(b, tol=1e-8, residuals=res)
+    assert res[-1] / res[0] < 1e-7

@@ -328,3 +328,31 @@ def test_device_rootnode_hierarchy():
     x = dml.solve(b, tol=1e-8, maxiter=40, accel="cg", residuals=res)
     relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert relres < 1e-7
+
+
+def test_rmatvec_formats():
+    """Transpose apply (NE/NR smoother engine) matches scipy A.T @ x."""
+    from pyamg_tpu.sparse import (dense_from_scipy, dia_from_scipy,
+                                  windowed_from_scipy)
+
+    rng = np.random.default_rng(11)
+    A = poisson((12, 12), format="csr")
+    A.data = A.data * (1.0 + 0.1 * rng.random(A.nnz))  # nonsymmetric
+    n = A.shape[0]
+    x = rng.random(n)
+    want = A.T @ x
+
+    D = dia_from_scipy(A, dtype=jnp.float64, row_pad=8)
+    xp = pad_vector(jnp.asarray(x), D.n_pad)
+    np.testing.assert_allclose(np.asarray(D.rmatvec(xp))[:n], want,
+                               atol=1e-12)
+
+    De = dense_from_scipy(A, dtype=jnp.float64, row_pad=8)
+    np.testing.assert_allclose(
+        np.asarray(De.rmatvec(pad_vector(jnp.asarray(x), De.n_pad)))[:n],
+        want, atol=1e-12)
+
+    W = windowed_from_scipy(A, dtype=jnp.float64, block=8)
+    np.testing.assert_allclose(
+        np.asarray(W.rmatvec(pad_vector(jnp.asarray(x), W.n_pad)))[:n],
+        want, atol=1e-12)

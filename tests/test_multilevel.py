@@ -138,3 +138,53 @@ def test_richardson_and_sor_specs():
         res = []
         ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
         assert res[-1] / res[0] < 1e-7, pre
+
+
+def test_jacobi_ne_device_spec():
+    """Device NE smoother (ADVICE r1): jacobi_ne now gets a true device
+    normal-equation form (Cimmino) instead of silently becoming plain
+    Jacobi on A; histories match host exactly (order-free sweep)."""
+    import warnings as _w
+
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine import as_device_solver
+
+    A = poisson((16, 16), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("jacobi_ne", {"omega": 1.0}),
+        postsmoother=("jacobi_ne", {"omega": 1.0}), max_coarse=10)
+    b = np.random.default_rng(3).random(A.shape[0])
+    res = []
+    ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # jacobi_ne must NOT warn-substitute
+        dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    res_d = []
+    dml.solve(b, tol=1e-8, maxiter=60, residuals=res_d)
+    np.testing.assert_allclose(res_d, res[: len(res_d)], rtol=1e-6)
+
+
+def test_gauss_seidel_ne_substitution_warns():
+    """Kaczmarz (gauss_seidel_ne/nr) substitution is no longer silent."""
+    import warnings as _w
+
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine import as_device_solver
+
+    A = poisson((12, 12), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("gauss_seidel_ne", {}),
+        postsmoother=("gauss_seidel_nr", {}), max_coarse=10)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    msgs = [str(w.message) for w in rec]
+    assert any("gauss_seidel_ne" in m for m in msgs)
+    assert any("gauss_seidel_nr" in m for m in msgs)
+    b = np.ones(A.shape[0])
+    res = []
+    dml.solve(b, tol=1e-8, maxiter=80, residuals=res)
+    # rho-scaled Cimmino is a weak but unconditionally convergent smoother
+    assert res[-1] / res[0] < 1e-4

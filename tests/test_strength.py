@@ -109,3 +109,17 @@ def test_relaxation_based_measures_run():
     assert S.shape == A.shape
     # evolution on isotropic Poisson keeps grid neighbors
     assert S.nnz >= A.shape[0]
+
+
+def test_empty_trailing_row():
+    # regression (ADVICE r1): a CSR whose last row stores no entries put
+    # index == len(data) into the reduceat offset list -> IndexError
+    A = sp.csr_matrix(np.array([[2.0, -1.0, 0.0],
+                                [-1.0, 2.0, 0.0],
+                                [0.0, 0.0, 0.0]]))
+    A.eliminate_zeros()
+    assert np.diff(A.indptr)[-1] == 0
+    S = classical_strength_of_connection(A, theta=0.25)
+    assert S.shape == A.shape
+    # empty row stays empty apart from the unit diagonal
+    assert np.diff(S.indptr)[-1] <= 1
