@@ -5,6 +5,7 @@ level pytree.  Build with ``as_device_solver(ml)`` from any host
 MultilevelSolver.
 """
 
+from .device_setup import StructuredDeviceSolver, device_sa_setup
 from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
 from .krylov import device_bicgstab, device_cg, device_fgmres
 from .solver import DeviceMultilevelSolver, as_device_solver
@@ -12,10 +13,12 @@ from .solver import DeviceMultilevelSolver, as_device_solver
 __all__ = [
     "DeviceHierarchy",
     "DeviceLevel",
+    "StructuredDeviceSolver",
     "compile_hierarchy",
     "device_bicgstab",
     "device_cg",
     "device_fgmres",
+    "device_sa_setup",
     "DeviceMultilevelSolver",
     "as_device_solver",
 ]

@@ -1,0 +1,778 @@
+"""Device (jitted) SA setup — the TPU-native hierarchy construction path.
+
+Round-1 verdict item #1: the host setup phase (NumPy/SciPy + C++) costs
+14.5 s at 4.2M unknowns vs 4.4 s solve — it dominated end-to-end time
+and cannot scale.  BASELINE.json:5 names "setup-phase graph algorithms
+(strength, aggregation, splitting) as parallel JAX primitives" as a
+subsystem that changes; this module is that subsystem for the SA family
+(reference counterpart: [R] pyamg/aggregation/aggregation.py
+_extend_hierarchy + amg_core standard_aggregation/fit_candidates,
+SURVEY.md §3.1).
+
+The design is TPU-first, not a port.  The reference's serial greedy
+aggregation + per-aggregate QR + CSR SpGEMM become, for operators on
+regular grids (the gallery's stencil problems — BASELINE configs 1-4):
+
+- **structured aggregation**: aggregates are stride^d grid blocks
+  (stride 3 ~ the aggregate diameter standard_aggregation produces on
+  stencil graphs).  No graph algorithm needed — the aggregate map is
+  index arithmetic, and per-aggregate candidate norms (the QR of a
+  single column) are a reshape + block-sum.
+- **embedded transfer operators**: the tentative/smoothed prolongator is
+  stored as an n×n DIAMatrix on the *fine* grid whose columns live only
+  on aggregate-center positions.  P/R application = rolls plus pure
+  reshape/broadcast embed/compact between grids — ZERO gathers
+  (DESIGN.md rule 1), all static shapes.
+- **RAP on device**: Galerkin triple product via `dia_spgemm` with a
+  static output-offset filter (only offsets ≡ 0 mod stride per grid dim
+  survive compaction — everything else is structurally zero because R
+  rows / P columns live on centers only).
+- **compaction**: coarse operator/vector extraction is a strided
+  reshape-slice (`y.reshape(ncy, s, ncx, s)[:, c, :, c]`), the exact
+  inverse of the broadcast embed.  XLA compiles both to pure data
+  movement.
+
+Every level step is one jitted function of the previous level's arrays;
+the only host work is the initial scipy→DIA conversion and the per-level
+`float(rho)` pulls that feed the *static* smoother configs.
+
+Scope/contract: scalar operators laid out row-major on a rectangular
+grid (2-D or 3-D), single near-nullspace candidate (the SA default
+B=ones).  Strength-adaptive aggregation, BSR blocks, and unstructured
+operators stay on the host setup path (`smoothed_aggregation_solver` +
+`compile_hierarchy`), which remains the parity reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..sparse import DIAMatrix, dia_from_scipy, pad_to
+from ..sparse.dia import dia_spgemm
+from . import relaxation as device_relaxation
+from .hierarchy import DeviceHierarchy, DeviceLevel
+from .setup import _hash_weights
+from .solver import DeviceMultilevelSolver
+
+__all__ = [
+    "device_sa_setup",
+    "StructuredProlongator",
+    "StructuredRestrictor",
+    "dia_transpose",
+    "StructuredDeviceSolver",
+]
+
+
+# ---------------------------------------------------------------------------
+# offset <-> grid-coordinate bookkeeping (host, static)
+# ---------------------------------------------------------------------------
+
+def _offset_to_coords(o, grid):
+    """Decompose a row-major linear offset into per-dim deltas.
+
+    grid = (..., ny, nx); valid for stencil offsets whose per-dim delta
+    magnitude is < dim/2 (always true for the gallery stencils).
+    """
+    coords = []
+    for d in range(len(grid) - 1, -1, -1):
+        size = grid[d]
+        delta = ((o + size // 2) % size) - size // 2
+        coords.append(int(delta))
+        o = (o - delta) // size
+    if o != 0:
+        raise ValueError("offset does not decompose on this grid")
+    return tuple(reversed(coords))
+
+
+def _coords_to_offset(coords, grid):
+    # row-major: offset = sum_d coords[d] * prod(grid[d+1:])
+    o = 0
+    stride = 1
+    for d in range(len(grid) - 1, -1, -1):
+        o += coords[d] * stride
+        stride *= grid[d]
+    return int(o)
+
+
+def _padded_grid(grid, stride):
+    return tuple(int(stride * -(-g // stride)) for g in grid)
+
+
+# ---------------------------------------------------------------------------
+# pure-data-movement grid transforms (device, jit-safe)
+# ---------------------------------------------------------------------------
+
+def _grid_pad_vec(v, grid, grid_p):
+    """Zero-pad a grid vector (row-major) to the padded grid layout."""
+    v = v[: int(np.prod(grid))].reshape(grid)
+    pads = [(0, gp - g) for g, gp in zip(grid, grid_p)]
+    return jnp.pad(v, pads).reshape(-1)
+
+
+def _grid_unpad_vec(v, grid, grid_p):
+    v = v.reshape(grid_p)
+    sl = tuple(slice(0, g) for g in grid)
+    return v[sl].reshape(-1)
+
+
+def _embed_coarse(xc, coarse_grid, stride, center):
+    """Coarse grid vector -> fine padded grid with values at centers.
+
+    Implemented as `lax.pad` with INTERIOR padding — the native XLA
+    dilation op, the exact inverse of the strided-slice compaction.
+    (The obvious interleaved reshape-broadcast form creates
+    (..., nc, stride) intermediates whose minor dims tile-pad ~43x on
+    TPU and OOM at 2048^2 — measured round 2.)
+    """
+    y = xc.reshape(coarse_grid)
+    cfg = [(center, stride - 1 - center, stride - 1)] * len(coarse_grid)
+    y = lax.pad(y, jnp.zeros((), dtype=xc.dtype), cfg)
+    return y.reshape(-1)
+
+
+def _compact_fine(v, coarse_grid, stride, center):
+    """Fine padded grid vector -> values at aggregate centers.
+
+    Strided slice on the grid-shaped view — native data movement, large
+    minor dims throughout.
+    """
+    fine_p = tuple(g * stride for g in coarse_grid)
+    v = v.reshape(fine_p)
+    idx = tuple(slice(center, None, stride) for _ in coarse_grid)
+    return v[idx].reshape(-1)
+
+
+def dia_transpose(A: DIAMatrix) -> DIAMatrix:
+    """Transpose of a DIAMatrix, by rolls only.
+
+    B = A^T has B_data[-o][j] = A_data[o][j + (-o)... derived:
+    B[j, j+p] = A[j+p, j] = A_data[d(-p)][j+p], so
+    B_data[p] = roll(A_data[d(-p)], -p).  Wrap-around entries land on
+    positions whose source entries are stored as zero, so they vanish.
+    """
+    offsets = tuple(sorted(-o for o in A.offsets))
+    lookup = {o: d for d, o in enumerate(A.offsets)}
+    data = jnp.stack([
+        jnp.roll(A.data[lookup[-p]], -p) for p in offsets])
+    return DIAMatrix(data=data, offsets=offsets,
+                     shape=(A.shape[1], A.shape[0]), nnz=A.nnz)
+
+
+def _dia_spgemm_filtered(A: DIAMatrix, B: DIAMatrix, keep_offsets):
+    """C = A @ B keeping only static `keep_offsets` (structural filter).
+
+    Used for the R·(A·P) product: output offsets that are not ≡ 0 mod
+    stride per grid dim are structurally zero (rows/cols live on
+    aggregate centers) — skipping them avoids materializing O(span^d)
+    dead diagonals.
+    """
+    keep = set(int(o) for o in keep_offsets)
+    acc = {}
+    for da, oa in enumerate(A.offsets):
+        a = A.data[da]
+        for db, ob in enumerate(B.offsets):
+            oc = oa + ob
+            if oc not in keep:
+                continue
+            term = a * jnp.roll(B.data[db], -oa)
+            acc[oc] = acc[oc] + term if oc in acc else term
+    offsets = tuple(sorted(acc.keys()))
+    data = jnp.stack([acc[o] for o in offsets])
+    return DIAMatrix(data=data, offsets=offsets,
+                     shape=(A.shape[0], B.shape[1]),
+                     nnz=len(offsets) * A.shape[0])
+
+
+def _compact_dia(A_emb: DIAMatrix, grid_p, stride, center) -> DIAMatrix:
+    """Extract the coarse operator from its fine-grid embedding.
+
+    Rows: center positions (reshape-slice).  Offsets: each embedded
+    offset decomposes into per-dim deltas that are multiples of stride;
+    the coarse offset is the same delta / stride on the coarse grid.
+    """
+    coarse_grid = tuple(g // stride for g in grid_p)
+    out_offsets = []
+    rows = []
+    for d, o in enumerate(A_emb.offsets):
+        coords = _offset_to_coords(o, grid_p)
+        assert all(c % stride == 0 for c in coords), (o, coords)
+        cc = tuple(c // stride for c in coords)
+        out_offsets.append(_coords_to_offset(cc, coarse_grid))
+        rows.append(_compact_fine(A_emb.data[d], coarse_grid, stride,
+                                  center))
+    order = np.argsort(out_offsets)
+    data = jnp.stack([rows[i] for i in order])
+    offsets = tuple(int(out_offsets[i]) for i in order)
+    nc = int(np.prod(coarse_grid))
+    return DIAMatrix(data=data, offsets=offsets, shape=(nc, nc),
+                     nnz=len(offsets) * nc)
+
+
+# ---------------------------------------------------------------------------
+# structured transfer operators (solve-phase pytrees)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class StructuredProlongator:
+    """P: coarse padded-grid vector -> fine padded-grid vector.
+
+    Stored as the embedded n×n DIAMatrix P_emb whose columns live on
+    aggregate centers; application = broadcast-embed + rolled SpMV.
+    The coarse side uses the *coarse level's padded grid* layout, so the
+    un-pad/pad between levels is fused into the transfer.
+    """
+
+    emb: DIAMatrix
+    fine_grid_p: Tuple[int, ...]     # static
+    coarse_grid: Tuple[int, ...]     # = fine_grid_p // stride
+    coarse_grid_p: Tuple[int, ...]   # next level's padded grid
+    stride: int
+    center: int
+
+    def tree_flatten(self):
+        return (self.emb,), (self.fine_grid_p, self.coarse_grid,
+                             self.coarse_grid_p, self.stride, self.center)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (emb,) = children
+        f, c, cp, s, ctr = aux
+        return cls(emb=emb, fine_grid_p=f, coarse_grid=c, coarse_grid_p=cp,
+                   stride=s, center=ctr)
+
+    @property
+    def nnz(self):
+        return self.emb.nnz
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.fine_grid_p)),
+                int(np.prod(self.coarse_grid_p)))
+
+    def __matmul__(self, xc):
+        xc = _grid_unpad_vec(xc, self.coarse_grid, self.coarse_grid_p)
+        e = _embed_coarse(xc, self.coarse_grid, self.stride, self.center)
+        return self.emb @ e
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class StructuredRestrictor:
+    """R = P^T: fine padded-grid vector -> coarse padded-grid vector."""
+
+    emb: DIAMatrix                    # R_emb = transpose(P_emb)
+    fine_grid_p: Tuple[int, ...]
+    coarse_grid: Tuple[int, ...]
+    coarse_grid_p: Tuple[int, ...]
+    stride: int
+    center: int
+
+    def tree_flatten(self):
+        return (self.emb,), (self.fine_grid_p, self.coarse_grid,
+                             self.coarse_grid_p, self.stride, self.center)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (emb,) = children
+        f, c, cp, s, ctr = aux
+        return cls(emb=emb, fine_grid_p=f, coarse_grid=c, coarse_grid_p=cp,
+                   stride=s, center=ctr)
+
+    @property
+    def nnz(self):
+        return self.emb.nnz
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.coarse_grid_p)),
+                int(np.prod(self.fine_grid_p)))
+
+    def __matmul__(self, r):
+        y = self.emb @ r
+        yc = _compact_fine(y, self.coarse_grid, self.stride, self.center)
+        return _grid_pad_vec(yc, self.coarse_grid, self.coarse_grid_p)
+
+
+# ---------------------------------------------------------------------------
+# device level step
+# ---------------------------------------------------------------------------
+
+def _relayout_dia(dia: DIAMatrix, grid, grid_p) -> DIAMatrix:
+    """Re-lay a DIA operator from grid layout onto the padded grid."""
+    if tuple(grid) == tuple(grid_p) and dia.n_pad == int(np.prod(grid)):
+        return dia
+    n = int(np.prod(grid))
+    rows = []
+    offsets = []
+    for d, o in enumerate(dia.offsets):
+        coords = _offset_to_coords(o, grid)
+        offsets.append(_coords_to_offset(coords, grid_p))
+        rows.append(_grid_pad_vec(dia.data[d][:n], grid, grid_p))
+    order = np.argsort(offsets)
+    return DIAMatrix(
+        data=jnp.stack([rows[i] for i in order]),
+        offsets=tuple(int(offsets[i]) for i in order),
+        shape=(int(np.prod(grid_p)),) * 2,
+        nnz=dia.nnz)
+
+
+def _block_norms(B, coarse_grid, stride):
+    """Per-aggregate 2-norm of the candidate (fit_candidates' QR for a
+    single column) via `lax.reduce_window` — the native TPU block-sum
+    (interleaved reshape-sums tile-pad badly, see _embed_coarse)."""
+    dim = len(coarse_grid)
+    fine_p = tuple(g * stride for g in coarse_grid)
+    sq = (B * B).reshape(fine_p)
+    s = lax.reduce_window(sq, jnp.zeros((), dtype=sq.dtype), lax.add,
+                          (stride,) * dim, (stride,) * dim,
+                          "VALID")
+    return jnp.sqrt(s).reshape(-1)
+
+
+def _broadcast_coarse(vc, coarse_grid, stride, center):
+    """Replicate each coarse value over its stride^d fine block:
+    embed at centers, then spread by summing the stride^d rolls (each
+    fine point sees exactly its own center once)."""
+    e = _embed_coarse(vc, coarse_grid, stride, center)
+    fine_p = tuple(g * stride for g in coarse_grid)
+    out = jnp.zeros_like(e)
+    for combo in np.ndindex(*([stride] * len(coarse_grid))):
+        coords = tuple(int(c) - center for c in combo)
+        out = out + jnp.roll(e, _coords_to_offset(coords, fine_p))
+    return out
+
+
+def _tentative_emb(B, grid_p, stride, center, dtype) -> Tuple[DIAMatrix,
+                                                              jnp.ndarray]:
+    """Embedded tentative prolongator T and coarse candidate B_c.
+
+    T[i, r(i)] = B[i] / ||B||_{agg(i)} — per-aggregate normalized
+    candidate (exactly fit_candidates for one column, [R]
+    pyamg/aggregation/tentative.py::fit_candidates).  As an embedded
+    DIA: offset (r(i) - i) per dim ∈ {center - (i % stride)}, selected
+    by static iota masks.
+    """
+    dim = len(grid_p)
+    coarse_grid = tuple(g // stride for g in grid_p)
+    norms = _block_norms(B, coarse_grid, stride)
+    norms_f = _broadcast_coarse(norms, coarse_grid, stride, center)
+    tv = jnp.where(norms_f > 0, B / jnp.where(norms_f > 0, norms_f, 1), 0)
+
+    # per-dim position-within-aggregate masks (trace-time iota)
+    pos = [jnp.arange(g) % stride for g in grid_p]
+
+    offsets = []
+    rows = []
+    for combo in np.ndindex(*([2 * stride - 1] * dim)):
+        coords = tuple(int(c) - (stride - 1) for c in combo)
+        # fine point at in-block position p gets root offset center - p,
+        # so diagonal `coords` selects points with p == center - coords
+        masks = []
+        ok = True
+        for d in range(dim):
+            want = center - coords[d]
+            if not (0 <= want < stride):
+                ok = False
+                break
+            masks.append(pos[d] == want)
+        if not ok:
+            continue
+        shape = [1] * dim
+        shape[0] = grid_p[0]
+        m = masks[0].reshape(shape)
+        for d in range(1, dim):
+            shape = [1] * dim
+            shape[d] = grid_p[d]
+            m = m & masks[d].reshape(shape)
+        offsets.append(_coords_to_offset(coords, grid_p))
+        rows.append(jnp.where(m.reshape(-1), tv, 0).astype(dtype))
+    order = np.argsort(offsets)
+    T = DIAMatrix(
+        data=jnp.stack([rows[i] for i in order]),
+        offsets=tuple(int(offsets[i]) for i in order),
+        shape=(int(np.prod(grid_p)),) * 2,
+        nnz=int(np.prod(grid_p)))
+    return T, norms
+
+
+def _power_rho(A: DIAMatrix, dinv=None, iters=40):
+    """Spectral-radius estimate of (D^-1) A by power iteration.
+
+    Device analog of util.linalg.approximate_spectral_radius for the
+    smoother omega scaling; convergence-factor parity absorbs the small
+    estimator difference (SURVEY.md §7 hard part 3).
+    """
+    n_pad = A.n_pad
+    v0 = (_hash_weights(n_pad, 12345).astype(A.dtype) - 0.5)
+    v0 = jnp.where(A.diagonal() != 0, v0, 0)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(_, v):
+        w = A @ v
+        if dinv is not None:
+            w = dinv * w
+        nrm = jnp.linalg.norm(w)
+        return w / jnp.where(nrm == 0, 1, nrm)
+
+    v = lax.fori_loop(0, iters, body, v0)
+    w = A @ v
+    if dinv is not None:
+        w = dinv * w
+    return jnp.linalg.norm(w)
+
+
+def _spec_key(spec):
+    """Normalize a ('name', kwargs) smoother spec to a hashable key."""
+    if spec is None:
+        return None
+    name, kwargs = spec if isinstance(spec, tuple) else (spec, {})
+    if name is None:
+        return None
+    return (str(name), tuple(sorted((k, _hashable(v))
+                                    for k, v in dict(kwargs or {}).items())))
+
+
+def _hashable(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(np.asarray(v).ravel().tolist())
+    return v
+
+
+def _smoother_device_arrays(key, A_p, dinv, rho_dinv, dtype):
+    """TRACED: device arrays (dynamic omegas/coefficients) for a spec.
+
+    Everything stays on device — no scalar is ever pulled to host during
+    setup (a single D2H pull after a long async chain costs minutes
+    through the axon relay; measured round 2)."""
+    if key is None:
+        return ()
+    name, kw = key
+    kw = dict(kw)
+    if name == "jacobi":
+        omega = jnp.asarray(float(kw.get("omega", 1.0)), dtype=dtype)
+        if kw.get("withrho", True):
+            omega = omega / jnp.maximum(rho_dinv, 1e-30)
+        return (dinv, omega)
+    if name == "richardson":
+        rho_A = _power_rho(A_p)
+        omega = jnp.asarray(float(kw.get("omega", 1.0)),
+                            dtype=dtype) / jnp.maximum(rho_A, 1e-30)
+        return (omega,)
+    if name == "chebyshev":
+        from ..relaxation.chebyshev import chebyshev_polynomial_coefficients
+
+        lower = float(kw.get("lower_bound", 1.0 / 30.0))
+        upper = float(kw.get("upper_bound", 1.1))
+        degree = int(kw.get("degree", 3))
+        # coefficients for the UNIT interval [lower, upper]; scaling the
+        # interval by rho scales coefficient j of t^(degree-1-j) by
+        # rho^-(degree-j) (p_rho(t) = p_unit(t/rho)/rho)
+        c_unit = np.asarray(
+            chebyshev_polynomial_coefficients(lower, upper, degree))
+        rho_A = _power_rho(A_p)
+        exps = degree - np.arange(degree)
+        coeffs = jnp.asarray(c_unit, dtype=dtype) * (
+            jnp.maximum(rho_A, 1e-30) ** jnp.asarray(-exps, dtype=dtype))
+        return (coeffs,)
+    raise ValueError(
+        f"device setup supports jacobi/richardson/chebyshev, got {name!r}")
+
+
+def _smoother_wrap(key, arrays):
+    """HOST: bind pulled-free device arrays into a DeviceSmoother."""
+    if key is None:
+        return device_relaxation.identity()
+    name, kw = key
+    kw = dict(kw)
+    iterations = int(kw.get("iterations", 1))
+    if name == "jacobi":
+        return device_relaxation.jacobi_dyn(arrays[0], arrays[1],
+                                            iterations)
+    if name == "richardson":
+        return device_relaxation.richardson_dyn(arrays[0], iterations)
+    if name == "chebyshev":
+        return device_relaxation.polynomial_dyn(arrays[0], iterations)
+    raise ValueError(name)
+
+
+@partial(jax.jit, static_argnames=("plan", "stride", "omega", "dtype",
+                                   "pre_key", "post_key"))
+def _setup_pipeline(A_in, *, plan, stride, omega, dtype, pre_key,
+                    post_key):
+    """The ENTIRE multi-level SA setup as ONE XLA program.
+
+    plan: static tuple of (grid, grid_p) per level.  One program instead
+    of one per level + one per smoother: through the axon relay every
+    distinct executable pays a large one-time first-run cost, so program
+    count — not FLOPs — dominates cold setup latency (measured round 2:
+    5 level programs + smoother/densify programs ≈ minutes cold; fused ≈
+    one program's overhead).  Returns per-level operator pytrees, rho
+    estimates, smoother arrays, plus the dense coarse operator and its
+    on-device pseudo-inverse — zero host round-trips.
+    """
+    center = stride // 2
+    cur = A_in
+    B = None
+    out_levels = []
+    for (grid, grid_p) in plan:
+        A_p = _relayout_dia(cur, grid, grid_p)
+        if B is None:
+            Bv = jnp.where(A_p.diagonal() != 0,
+                           jnp.ones(A_p.n_pad, dtype=dtype), 0)
+        else:
+            Bv = _grid_pad_vec(B[: int(np.prod(grid))], grid, grid_p)
+        P_emb, R_emb, A_c, Bc, rho = _coarsen_level(
+            A_p, Bv, grid_p, stride, center, omega, dtype)
+        diag = A_p.diagonal()
+        dinv = jnp.where(diag != 0,
+                         1.0 / jnp.where(diag != 0, diag, 1), 0)
+        pre_arr = _smoother_device_arrays(pre_key, A_p, dinv, rho, dtype)
+        post_arr = _smoother_device_arrays(post_key, A_p, dinv, rho,
+                                           dtype)
+        out_levels.append((A_p, P_emb, R_emb, rho, pre_arr, post_arr))
+        cur = A_c
+        B = Bc
+    Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
+    coarse_inv = _ns_pinv(Ac_dense)
+    return tuple(out_levels), Ac_dense, coarse_inv
+
+
+def _ns_pinv(A, iters=60):
+    """Newton-Schulz (Ben-Israel--Cohen) pseudo-inverse — pure MXU
+    matmuls, ZERO gathers (jnp.linalg.pinv's SVD lowers to gather-heavy
+    TPU code, which DESIGN.md rule 1 bans from the device path).
+
+    X0 = A^T / (||A||_1 ||A||_inf) guarantees ||I - X0 A|| < 1 on
+    range(A); X <- X (2I - A X) then converges quadratically to pinv(A)
+    (zero padding rows/cols stay exactly zero).  60 iterations cover
+    cond(A) up to ~1e6 at f32 accuracy — far beyond any AMG coarsest
+    operator."""
+    n = A.shape[0]
+    at = A.T
+    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    norminf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    alpha = 1.0 / jnp.maximum(norm1 * norminf, 1e-30)
+    X0 = alpha * at
+    eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
+
+    def body(_, X):
+        return jnp.dot(X, eye2 - jnp.dot(A, X,
+                                         preferred_element_type=A.dtype),
+                       preferred_element_type=A.dtype)
+
+    return lax.fori_loop(0, iters, body, X0)
+
+
+def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
+    """One device SA coarsening step on the padded grid.
+
+    Returns (P_emb, R_emb, A_c on coarse grid, B_c).  Jitted by the
+    caller with static grid/stride.
+    """
+    diag = A_p.diagonal()
+    dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
+    T, Bc = _tentative_emb(B, grid_p, stride, center, dtype)
+    rho = _power_rho(A_p, dinv)
+    # S = I - (omega/rho) D^-1 A as a DIA (row-scaled A + identity bump)
+    scale = -(omega / jnp.where(rho == 0, 1, rho))
+    s_data = A_p.data * (scale * dinv)[None, :]
+    if 0 in A_p.offsets:
+        d0 = A_p.offsets.index(0)
+        s_data = s_data.at[d0].add(jnp.where(diag != 0, 1.0, 0.0))
+        S = DIAMatrix(data=s_data, offsets=A_p.offsets, shape=A_p.shape,
+                      nnz=A_p.nnz)
+    else:
+        S = DIAMatrix(
+            data=jnp.concatenate(
+                [s_data, jnp.where(diag != 0, 1.0, 0.0)[None, :]]),
+            offsets=A_p.offsets + (0,), shape=A_p.shape, nnz=A_p.nnz)
+    P_emb = dia_spgemm(S, T)
+    R_emb = dia_transpose(P_emb)
+    AP = dia_spgemm(A_p, P_emb)
+    # structural filter: only center-to-center offsets (every per-dim
+    # delta ≡ 0 mod stride) survive compaction — enumerate candidates
+    # from the actual operand offsets
+    cand = set()
+    for oa in R_emb.offsets:
+        for ob in AP.offsets:
+            oc = oa + ob
+            try:
+                coords = _offset_to_coords(oc, grid_p)
+            except ValueError:
+                continue
+            if all(c % stride == 0 for c in coords):
+                cand.add(oc)
+    Ac_emb = _dia_spgemm_filtered(R_emb, AP, cand)
+    A_c = _compact_dia(Ac_emb, grid_p, stride, center)
+    return P_emb, R_emb, A_c, Bc, rho
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+class StructuredDeviceSolver(DeviceMultilevelSolver):
+    """DeviceMultilevelSolver whose level-0 vector space is a padded
+    grid: encodes b / decodes x with pure reshape-pad (host numpy)."""
+
+    def __init__(self, hierarchy, grid, grid_p, setup_info=None):
+        super().__init__(hierarchy)
+        self.grid = tuple(grid)
+        self.grid_p = tuple(grid_p)
+        self.setup_info = setup_info or {}
+
+    def _encode(self, v):
+        v = np.asarray(v).reshape(self.grid)
+        pads = [(0, gp - g) for g, gp in zip(self.grid, self.grid_p)]
+        return np.pad(v, pads).reshape(-1)
+
+    def _decode(self, v):
+        v = np.asarray(v).reshape(self.grid_p)
+        sl = tuple(slice(0, g) for g in self.grid)
+        return v[sl].reshape(-1)
+
+    def solve(self, b, x0=None, **kw):
+        b = self._encode(b)
+        if x0 is not None:
+            x0 = self._encode(x0)
+        x = super().solve(b, x0=x0, **kw)
+        if isinstance(x, tuple):
+            return (self._decode(x[0]),) + x[1:]
+        return self._decode(x)
+
+    def aspreconditioner(self, cycle="V"):
+        from scipy.sparse.linalg import LinearOperator
+
+        inner = super().aspreconditioner(cycle)
+        n = int(np.prod(self.grid))
+
+        def matvec(r):
+            return self._decode(inner @ self._encode(r))
+
+        return LinearOperator((n, n), matvec=matvec, dtype=np.float64)
+
+
+def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
+                    stride=3, max_coarse=400, max_levels=12,
+                    presmoother=("jacobi", {"omega": 4.0 / 3.0}),
+                    postsmoother=("jacobi", {"omega": 4.0 / 3.0}),
+                    mixed_precision=False):
+    """Build an SA hierarchy ON DEVICE for a grid-stencil operator.
+
+    Parameters mirror `smoothed_aggregation_solver` where they apply;
+    `grid` is the row-major grid shape of the unknowns (required — it is
+    what makes the gather-free structured path possible).  Smoothers:
+    'jacobi', 'richardson', or 'chebyshev' specs (rho estimates come
+    from on-device power iteration).
+
+    ``stride=3`` is the stable choice and the default: the smoothed-P
+    span (tentative ±1 cell + one Jacobi smoothing pass ±1 cell = ±2)
+    stays strictly inside one aggregate radius, so the Galerkin coarse
+    stencil is 3^d-point at EVERY level.  Measured: stride 2 lets the
+    coarse stencil grow without bound (25-point, then more) and
+    compile/solve cost blows up with it.
+
+    Returns a :class:`StructuredDeviceSolver` (drop-in
+    DeviceMultilevelSolver).  See module docstring for scope.
+    """
+    grid = tuple(int(g) for g in grid)
+    n = int(np.prod(grid))
+    if sp.issparse(A) or isinstance(A, np.ndarray):
+        if A.shape[0] != n:
+            raise ValueError(f"grid {grid} does not match A {A.shape}")
+        A_dia = dia_from_scipy(sp.csr_matrix(A), dtype=dtype, row_pad=1)
+    elif isinstance(A, DIAMatrix):
+        A_dia = A
+    else:
+        raise TypeError("A must be scipy sparse or DIAMatrix")
+
+    # ---- static coarsening plan ---------------------------------------
+    # Offset->coordinate decomposition is unambiguous only while every
+    # padded dim >= 3*stride (entry spans stay < dim/2); stop coarsening
+    # below that (the level is coarse enough for the dense solve anyway).
+    plan = []
+    cur_grid = grid
+    while (int(np.prod(cur_grid)) > max_coarse
+           and len(plan) < max_levels - 1
+           and min(_padded_grid(cur_grid, stride)) >= 3 * stride):
+        grid_p = _padded_grid(cur_grid, stride)
+        plan.append((cur_grid, grid_p))
+        cur_grid = tuple(g // stride for g in grid_p)
+    nlev = len(plan)
+    if nlev == 0:
+        raise ValueError(
+            f"grid {grid} is below the coarsening threshold "
+            f"(max_coarse={max_coarse}); use the host setup path")
+
+    pre_key = _spec_key(presmoother)
+    post_key = _spec_key(postsmoother)
+
+    # ---- one fused device program for the whole setup -----------------
+    out_levels, Ac_dense, coarse_inv = _setup_pipeline(
+        A_dia, plan=tuple(plan), stride=stride, omega=omega, dtype=dtype,
+        pre_key=pre_key, post_key=post_key)
+
+    # ---- assemble the DeviceHierarchy (host bookkeeping only) ---------
+    dev_levels = []
+    infos = []
+    for i, ((lv_grid, grid_p), (A_p, P_emb, R_emb, rho, pre_arr,
+                                post_arr)) in enumerate(zip(plan,
+                                                            out_levels)):
+        coarse_grid = tuple(g // stride for g in grid_p)
+        coarse_grid_p = (_padded_grid(coarse_grid, stride)
+                         if i + 1 < nlev else coarse_grid)
+        P = StructuredProlongator(
+            emb=P_emb, fine_grid_p=grid_p, coarse_grid=coarse_grid,
+            coarse_grid_p=coarse_grid_p, stride=stride, center=stride // 2)
+        R = StructuredRestrictor(
+            emb=R_emb, fine_grid_p=grid_p, coarse_grid=coarse_grid,
+            coarse_grid_p=coarse_grid_p, stride=stride, center=stride // 2)
+        pre = _smoother_wrap(pre_key, pre_arr)
+        post = _smoother_wrap(post_key, post_arr)
+        npad_lvl = int(np.prod(grid_p))
+        dev_levels.append(DeviceLevel(
+            A=A_p, P=P, R=R, pre=pre, post=post, n=npad_lvl,
+            n_pad=npad_lvl))
+        # rho stays a DEVICE scalar — float() it lazily if you need it
+        infos.append({"level": i, "n": npad_lvl,
+                      "ndiags": A_p.ndiags, "rho_D_inv_A": rho})
+
+    nc = int(np.prod(cur_grid))
+    nc_pad = nc
+    ident = device_relaxation.identity()
+    from ..sparse.dia import DenseOperator
+
+    Ac_op = DenseOperator(data=Ac_dense, shape=(nc, nc), nnz=nc * nc)
+    dev_levels.append(DeviceLevel(A=Ac_op, P=None, R=None, pre=ident,
+                                  post=ident, n=nc, n_pad=nc_pad))
+
+    A64 = None
+    if mixed_precision:
+        jax.config.update("jax_enable_x64", True)
+        grid_p0 = plan[0][1]
+        A64_dia = dia_from_scipy(sp.csr_matrix(A), dtype=jnp.float64,
+                                 row_pad=1)
+        A64 = _relayout_jit(A64_dia, grid=grid, grid_p=grid_p0)
+
+    hier = DeviceHierarchy(levels=dev_levels, coarse_inv=coarse_inv,
+                           nc=nc, nc_pad=nc_pad, dtype=dtype, A64=A64)
+    return StructuredDeviceSolver(
+        hier, grid, plan[0][1],
+        setup_info={"levels": infos, "nlevels": nlev + 1})
+
+
+@partial(jax.jit, static_argnames=("grid", "grid_p"))
+def _relayout_jit(A_in, *, grid, grid_p):
+    return _relayout_dia(A_in, grid, grid_p)

@@ -91,6 +91,29 @@ def polynomial(coefficients, iterations=1):
                           arrays=())
 
 
+def jacobi_dyn(dinv, omega, iterations=1):
+    """Weighted Jacobi with a DEVICE-RESIDENT omega (0-d array leaf).
+
+    Used by the one-program device setup pipeline: keeping omega on
+    device avoids the per-scalar D2H pulls that dominate first-run setup
+    latency through the axon relay (measured round 2: a single scalar
+    pull after an async setup chain can cost minutes)."""
+    return DeviceSmoother(config=("jacobi_dyn", int(iterations)),
+                          arrays=(dinv, omega))
+
+
+def richardson_dyn(omega, iterations=1):
+    return DeviceSmoother(config=("richardson_dyn", int(iterations)),
+                          arrays=(omega,))
+
+
+def polynomial_dyn(coefficients, iterations=1):
+    """Polynomial (Chebyshev) smoother with device-resident coefficients
+    (1-d array leaf, static length)."""
+    return DeviceSmoother(config=("poly_dyn", int(iterations)),
+                          arrays=(coefficients,))
+
+
 def jacobi_ne(dinv_ne, omega, iterations=1):
     """Cimmino form of the reference's NE (Kaczmarz) smoothers: Jacobi on
     the normal equations A A^H y = b, x = A^H y, i.e.
@@ -206,6 +229,32 @@ def apply_smoother(config, arrays, A, x, b):
             h = coefficients[0] * r
             for c in coefficients[1:]:
                 h = c * r + (A @ h)
+            x = x + h
+        return x
+
+    if kind == "jacobi_dyn":
+        _, iterations = config
+        dinv, omega = arrays
+        for _ in range(iterations):
+            x = x + omega * (dinv * (b - (A @ x)))
+        return x
+
+    if kind == "richardson_dyn":
+        _, iterations = config
+        (omega,) = arrays
+        for _ in range(iterations):
+            x = x + omega * (b - (A @ x))
+        return x
+
+    if kind == "poly_dyn":
+        _, iterations = config
+        (coefficients,) = arrays
+        k = coefficients.shape[0]
+        for _ in range(iterations):
+            r = b - (A @ x)
+            h = coefficients[0] * r
+            for c in range(1, k):
+                h = coefficients[c] * r + (A @ h)
             x = x + h
         return x
 

@@ -1,7 +1,7 @@
 """Device sparse containers and SpMV kernels (SURVEY.md §7 step 1)."""
 
 from .dia import (DenseOperator, DIAMatrix, dense_from_scipy,
-                  dia_from_scipy, dia_spgemm)
+                  dia_from_scipy, dia_from_stencil, dia_spgemm)
 from .window import WindowedELL, windowed_from_scipy
 from .formats import (
     BlockELLMatrix,
@@ -57,6 +57,7 @@ __all__ = [
     "bsr_ell_from_scipy",
     "dense_from_scipy",
     "dia_from_scipy",
+    "dia_from_stencil",
     "dia_spgemm",
     "ell_from_scipy",
     "ell_to_scipy",
