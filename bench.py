@@ -1,13 +1,22 @@
-"""Benchmark: SpMV + V-cycle nnz/s per chip (BASELINE.json:2 headline).
+"""Benchmark: all five BASELINE.json configs on the default backend (TPU).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Primary metric: V-cycle throughput in nnz/s on the BASELINE config-1
-problem family (SA hierarchy on 2D Poisson), measured on the default JAX
-backend (TPU when present).  ``vs_baseline`` compares against the
+Headline (series continuity with round 1): config-1 V-cycle throughput in
+work-nnz/s on SA/2D-Poisson.  ``vs_baseline`` compares against the
 reference's compute substrate measured in-process: the same V-cycle run
 through the host SciPy/C++ path on this machine's CPU.
+
+Honest-metrics note (round-1 verdict): the headline "Gnnz/s" is a WORK
+metric — cycle_nnz counts 3*nnz per level (pre+post smoothing + residual)
+plus P/R applications plus the dense coarse solve — not a bandwidth.  The
+roofline number is ``detail.config1.spmv_gnnz_s`` (raw finest-level SpMV
+nnz/s; ~f32 DIA speed-of-light on this chip's HBM).
+
+Phases: (A) f32 metrics for every config FIRST (x64 mode adds ~1 ms fixed
+dispatch overhead per call on this backend), then (B) x64 mixed-precision
+time-to-1e-8 solves.
 """
 
 from __future__ import annotations
@@ -15,6 +24,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+import warnings
 
 import numpy as np
 
@@ -30,93 +40,231 @@ def _median_time(fn, repeats=7, warmup=2):
     return float(np.median(times))
 
 
+def _factor(res):
+    res = np.asarray(res, dtype=float)
+    if len(res) < 2 or res[0] == 0:
+        return None
+    return float((res[-1] / res[0]) ** (1.0 / (len(res) - 1)))
+
+
+def _cycle_nnz(ml):
+    nnz = 0
+    for lvl in ml.levels[:-1]:
+        nnz += 3 * lvl.A.nnz + lvl.P.nnz + lvl.R.nnz
+    nnz += ml.levels[-1].A.shape[0] ** 2
+    return int(nnz)
+
+
+def _timed_device_solve(dml, b, **kw):
+    """Compile (untimed), then time one full device solve."""
+    res = []
+    dml.solve(b, residuals=res, **kw)
+    t0 = time.perf_counter()
+    res = []
+    x = dml.solve(b, residuals=res, **kw)
+    return time.perf_counter() - t0, res, x
+
+
 def main(grid=(2048, 2048), verbose=False):
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: Mosaic/XLA compiles are slow through the
-    # remote-compile relay; cache them across bench runs
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     def note(msg):
         if verbose:
-            import sys as _sys
-            print(msg, file=_sys.stderr, flush=True)
+            print(msg, file=sys.stderr, flush=True)
 
-    from pyamg_tpu.aggregation import smoothed_aggregation_solver
-    from pyamg_tpu.engine import DeviceMultilevelSolver, compile_hierarchy
-    from pyamg_tpu.gallery import poisson
+    import pyamg_tpu
+    from pyamg_tpu.engine import (DeviceMultilevelSolver, compile_hierarchy,
+                                  device_sa_setup)
+    from pyamg_tpu.gallery import (diffusion_stencil_2d, linear_elasticity,
+                                   poisson, recirc_flow, stencil_grid)
+    from pyamg_tpu.sparse import dia_from_stencil
 
     backend = jax.default_backend()
+    detail = {"backend": backend, "chips": jax.device_count()}
 
-    note("building problem...")
+    # ================= config 1: 2D Poisson, SA + CG, Jacobi ============
+    note("config1: building problem...")
     A = poisson(grid, format="csr")
-    note("host setup...")
-    ml = smoothed_aggregation_solver(
+    note("config1: host setup...")
+    t0 = time.perf_counter()
+    ml = pyamg_tpu.smoothed_aggregation_solver(
         A,
         presmoother=("jacobi", {"omega": 4.0 / 3.0}),
         postsmoother=("jacobi", {"omega": 4.0 / 3.0}),
     )
-    note("host setup done")
-    total_nnz = sum(lvl.A.nnz for lvl in ml.levels)
-    # nnz touched by one V-cycle: pre+post smoothing (2 SpMV-equivalents)
-    # + residual + restrict + interpolate per level
-    cycle_nnz = 0
-    for i, lvl in enumerate(ml.levels[:-1]):
-        cycle_nnz += 3 * lvl.A.nnz + lvl.P.nnz + lvl.R.nnz
-    cycle_nnz += ml.levels[-1].A.shape[0] ** 2  # dense coarse solve
+    t_host_setup = time.perf_counter() - t0
+    cycle_nnz = _cycle_nnz(ml)
 
-    # phase 1: pure-f32 metrics (x64 mode adds ~1ms fixed dispatch
-    # overhead per call on this backend, so measure f32 first)
-    note("device compile...")
+    note("config1: device compile...")
     dml = DeviceMultilevelSolver(compile_hierarchy(ml, dtype=jnp.float32))
-    note("device compile done")
     n_pad = dml.hierarchy.levels[0].n_pad
-    b = jnp.asarray(np.random.default_rng(0).random(n_pad), dtype=jnp.float32)
+    b = jnp.asarray(np.random.default_rng(0).random(n_pad),
+                    dtype=jnp.float32)
 
-    # --- device V-cycle throughput ---
     cyc = dml.cycle_operator("V")
-    run = lambda: jax.block_until_ready(cyc(b))
-    note("jit V-cycle (first call compiles)...")
-    t_cycle = _median_time(run)
-    note("V-cycle timed")
+    t_cycle = _median_time(lambda: jax.block_until_ready(cyc(b)))
     vcycle_nnz_s = cycle_nnz / t_cycle
 
-    # --- device SpMV throughput (finest A) ---
-    # NOTE: pass the operator as an argument — closure-captured device
-    # arrays are re-uploaded per call on this backend
     A_dev = dml.hierarchy.levels[0].A
-    x = b
     spmv = jax.jit(lambda op, v: op @ v)
-    t_spmv = _median_time(lambda: jax.block_until_ready(spmv(A_dev, x)))
+    t_spmv = _median_time(lambda: jax.block_until_ready(spmv(A_dev, b)))
     spmv_nnz_s = A.nnz / t_spmv
 
-    # --- host (reference-substrate) V-cycle throughput ---
+    # host (reference-substrate) V-cycle throughput
     bh = np.asarray(b)[: A.shape[0]].astype(np.float64)
     xh = np.zeros_like(bh)
-
-    def host_cycle():
-        ml.solve(bh, x0=xh, maxiter=1, tol=1e-300, accel=None)
-
-    t_host = _median_time(host_cycle, repeats=3, warmup=1)
+    t_host = _median_time(
+        lambda: ml.solve(bh, x0=xh, maxiter=1, tol=1e-300, accel=None),
+        repeats=3, warmup=1)
     host_nnz_s = cycle_nnz / t_host
 
-    # --- phase 2: time-to-1e-8 via full-device mixed-precision CG
-    # (f64 outer + f32 V-cycle preconditioner, one while_loop) ---
-    bb = np.random.default_rng(1).random(A.shape[0])
-    note("mixed-precision compile (enables x64)...")
+    # --- DEVICE SETUP (round-2): full on-device hierarchy construction ---
+    note("config1: device setup path...")
+    S1 = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], dtype=float)
+    A_dia = dia_from_stencil(S1, grid, dtype=jnp.float32)
+    dsa = device_sa_setup(A_dia, grid=grid, dtype=jnp.float32,
+                          max_coarse=400)     # compile (untimed)
+    float(dsa.hierarchy.coarse_inv[0, 0])     # hard sync
+    t0 = time.perf_counter()
+    dsa = device_sa_setup(A_dia, grid=grid, dtype=jnp.float32,
+                          max_coarse=400)
+    float(dsa.hierarchy.coarse_inv[0, 0])     # hard sync incl. D2H
+    t_dev_setup = time.perf_counter() - t0
+    res_ds = []
+    dsa.solve(np.asarray(b)[: A.shape[0]], tol=1e-5, maxiter=40,
+              accel="cg", residuals=res_ds)
+
+    detail["config1"] = {
+        "problem": "2D 5-pt Poisson %dx%d, SA V-cycle + CG, Jacobi" % grid,
+        "n": A.shape[0], "nnz_finest": int(A.nnz),
+        "cycle_nnz": cycle_nnz,
+        "t_vcycle_ms": round(t_cycle * 1e3, 3),
+        "vcycle_work_gnnz_s": round(vcycle_nnz_s / 1e9, 4),
+        "spmv_gnnz_s": round(spmv_nnz_s / 1e9, 4),
+        "host_vcycle_gnnz_s": round(host_nnz_s / 1e9, 4),
+        "setup_host_s": round(t_host_setup, 2),
+        "setup_device_s": round(t_dev_setup, 3),
+        "setup_speedup": round(t_host_setup / t_dev_setup, 1),
+        "device_setup_cg_iters_to_1e-5": len(res_ds) - 1,
+    }
+
+    # ================= config 2: 3D Poisson 64^3, SA + sym GS, W ========
+    note("config2: 64^3 setup...")
+    A2 = poisson((64, 64, 64), format="csr")
+    ml2 = pyamg_tpu.smoothed_aggregation_solver(
+        A2, presmoother=("gauss_seidel", {"sweep": "symmetric"}),
+        postsmoother=("gauss_seidel", {"sweep": "symmetric"}))
+    dml2 = DeviceMultilevelSolver(compile_hierarchy(ml2, dtype=jnp.float32))
+    b2 = np.random.default_rng(1).random(A2.shape[0])
+    cyc2 = dml2.cycle_operator("W")
+    n2_pad = dml2.hierarchy.levels[0].n_pad
+    b2p = jnp.asarray(np.pad(b2, (0, n2_pad - len(b2))), dtype=jnp.float32)
+    t_w = _median_time(lambda: jax.block_until_ready(cyc2(b2p)), repeats=5)
+    t2, res2, _ = _timed_device_solve(dml2, b2, tol=1e-6, maxiter=30,
+                                      cycle="W", accel=None)
+    detail["config2"] = {
+        "problem": "3D 7-pt Poisson 64^3, SA + symmetric GS (multicolor), "
+                   "W-cycle",
+        "n": A2.shape[0], "nnz_finest": int(A2.nnz),
+        "t_wcycle_ms": round(t_w * 1e3, 3),
+        "wcycle_work_gnnz_s": round(_cycle_nnz(ml2) / t_w / 1e9, 4),
+        "t_solve_1e-6_s": round(t2, 3),
+        "iters": len(res2) - 1,
+        "conv_factor": round(_factor(res2) or 0, 4),
+    }
+
+    # ===== config 3: rotated anisotropic diffusion 512^2, RS + GMRES ====
+    note("config3: RS setup...")
+    S3 = diffusion_stencil_2d(epsilon=1e-3, theta=0.0, type="FD")
+    A3 = stencil_grid(S3, (512, 512)).tocsr()
+    ml3 = pyamg_tpu.ruge_stuben_solver(A3)
+    dml3 = DeviceMultilevelSolver(compile_hierarchy(ml3, dtype=jnp.float32))
+    b3 = np.random.default_rng(2).random(A3.shape[0])
+    t3, res3, _ = _timed_device_solve(dml3, b3, tol=1e-6, maxiter=60,
+                                      accel="gmres")
+    detail["config3"] = {
+        "problem": "rotated anisotropic diffusion 512^2 (eps=1e-3), "
+                   "classical RS + GMRES",
+        "n": A3.shape[0], "nnz_finest": int(A3.nnz),
+        "levels": len(ml3.levels),
+        "t_solve_1e-6_s": round(t3, 3),
+        "iters": len(res3) - 1,
+        "conv_factor": round(_factor(res3) or 0, 4),
+    }
+
+    # ========== config 4: 2D elasticity BSR bs=2, rootnode + CG =========
+    note("config4: rootnode setup...")
+    A4, B4 = linear_elasticity((128, 128))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ml4 = pyamg_tpu.rootnode_solver(A4, B=B4, strength="symmetric")
+    dml4 = DeviceMultilevelSolver(compile_hierarchy(ml4, dtype=jnp.float32))
+    b4 = np.random.default_rng(3).random(A4.shape[0])
+    t4, res4, _ = _timed_device_solve(dml4, b4, tol=1e-6, maxiter=60,
+                                      accel="cg")
+    detail["config4"] = {
+        "problem": "2D linear elasticity 128^2 (BSR bs=2), rootnode SA "
+                   "+ CG",
+        "n": A4.shape[0], "nnz_finest": int(A4.nnz),
+        "t_solve_1e-6_s": round(t4, 3),
+        "iters": len(res4) - 1,
+        "conv_factor": round(_factor(res4) or 0, 4),
+    }
+
+    # === config 5: recirc advection-diffusion 1024^2, NSR + BiCGStab ====
+    note("config5: recirc 1024^2 setup (the big host setup)...")
+    A5 = recirc_flow((1024, 1024), epsilon=1e-2)
+    t0 = time.perf_counter()
+    ml5 = pyamg_tpu.smoothed_aggregation_solver(
+        A5, symmetry="nonsymmetric",
+        smooth=("energy", {"krylov": "gmres", "maxiter": 3, "degree": 1}),
+        strength="symmetric",
+        presmoother=("gauss_seidel_nr", {"sweep": "symmetric",
+                                         "iterations": 2}),
+        postsmoother=("gauss_seidel_nr", {"sweep": "symmetric",
+                                          "iterations": 2}))
+    t5_setup = time.perf_counter() - t0
+    dml5 = DeviceMultilevelSolver(compile_hierarchy(ml5, dtype=jnp.float32))
+    b5 = np.random.default_rng(4).random(A5.shape[0])
+    t5, res5, _ = _timed_device_solve(dml5, b5, tol=1e-6, maxiter=100,
+                                      accel="bicgstab")
+    detail["config5"] = {
+        "problem": "nonsym recirculating advection-diffusion 1024^2, "
+                   "energy-min NSR SA + BiCGStab (single chip; "
+                   "row-partitioned path validated on the virtual "
+                   "8-device mesh: tests/test_parallel.py, "
+                   "test_baseline_configs.py::config5)",
+        "n": A5.shape[0], "nnz_finest": int(A5.nnz),
+        "setup_host_s": round(t5_setup, 1),
+        "t_solve_1e-6_s": round(t5, 3),
+        "iters": len(res5) - 1,
+        "conv_factor": round(_factor(res5) or 0, 4),
+    }
+
+    # ============ phase B: x64 mixed-precision time-to-1e-8 =============
+    note("phase B: mixed-precision (enables x64)...")
     dml_mixed = DeviceMultilevelSolver(
         compile_hierarchy(ml, dtype=jnp.float32, mixed_precision=True))
-    res = []
-    dml_mixed.solve(bb, tol=1e-8, maxiter=100, accel="cg", residuals=res,
-                    precision="mixed")   # warm-up/compile
-    t0 = time.perf_counter()
-    res = []
-    x8 = dml_mixed.solve(bb, tol=1e-8, maxiter=100, accel="cg",
-                         residuals=res, precision="mixed")
-    t_solve = time.perf_counter() - t0
-    note("mixed solve done")
+    bb = np.random.default_rng(1).random(A.shape[0])
+    t1e8, res8, _ = _timed_device_solve(dml_mixed, bb, tol=1e-8,
+                                        maxiter=100, accel="cg",
+                                        precision="mixed")
+    detail["config1"]["time_to_1e8_s"] = round(t1e8, 3)
+    detail["config1"]["iters_to_1e8"] = len(res8) - 1
+    detail["config1"]["final_relres"] = (
+        float(res8[-1] / res8[0]) if res8 and res8[0] else None)
+
+    detail["scaling"] = {
+        "chips": jax.device_count(),
+        "note": "single-chip environment; multi-chip row partitioning "
+                "validated functionally on a virtual 8-device mesh "
+                "(tests/test_parallel.py, dryrun_multichip); real-slice "
+                "nnz/s scaling requires hardware not exposed here",
+    }
 
     result = {
         "metric": "SA V-cycle throughput (2D Poisson %dx%d, f32, %s)" % (
@@ -124,26 +272,7 @@ def main(grid=(2048, 2048), verbose=False):
         "value": round(vcycle_nnz_s / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(vcycle_nnz_s / host_nnz_s, 3),
-        "detail": {
-            "backend": backend,
-            "n": A.shape[0],
-            "nnz_finest": int(A.nnz),
-            "cycle_nnz": int(cycle_nnz),
-            "t_vcycle_ms": round(t_cycle * 1e3, 3),
-            "spmv_gnnz_s": round(spmv_nnz_s / 1e9, 4),
-            "host_vcycle_gnnz_s": round(host_nnz_s / 1e9, 4),
-            "time_to_1e8_s": round(t_solve, 3),
-            "iters_to_1e8": len(res) - 1,
-            "final_relres": float(res[-1] / res[0]) if res and res[0] else None,
-            "scaling": {
-                "chips": jax.device_count(),
-                "note": "single-chip environment; multi-chip row "
-                        "partitioning validated functionally on a virtual "
-                        "8-device mesh (tests/test_parallel.py, "
-                        "dryrun_multichip); real-slice nnz/s scaling "
-                        "requires hardware not exposed here",
-            },
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -272,34 +272,85 @@ def _drop_by_inverse_measure(A, rows, cols, d, theta):
     return _set_diagonal_to(S, 1.0)
 
 
+def _incomplete_mat_mult(X, Y, pattern):
+    """(X @ Y) restricted to the sparsity pattern of ``pattern``.
+
+    Reference counterpart: amg_core incomplete_mat_mult_csr (SURVEY.md
+    §2.4 evolution_strength.h).  Computed as the scipy product masked to
+    the pattern — numerically identical entries, traded for scipy's C
+    SpGEMM speed (the full product of evolution operators has bounded
+    fill: ~(2k+1)^d entries/row on stencil graphs).
+    """
+    full = sp.csr_matrix(X @ Y)
+    mask = sp.csr_matrix(
+        (np.ones(pattern.nnz), pattern.indices, pattern.indptr),
+        shape=pattern.shape)
+    out = sp.csr_matrix(full.multiply(mask))
+    # multiply() drops pattern entries where the product is exactly 0;
+    # that is fine for a strength measure (a zero entry is a zero entry)
+    out.sort_indices()
+    return out
+
+
 def evolution_strength_of_connection(
     A, B=None, epsilon=4.0, k=2, proj_type="l2", symmetrize_measure=True,
     weighting="diagonal",
 ):
-    """Evolution (ODE-based) strength of connection.
+    """Evolution (ODE-based) strength of connection — exact algorithm.
 
     Rebuild of [R] pyamg/strength.py::evolution_strength_of_connection
-    (Olson, Schroder, Tuminaro 2010).  Measures how well the near-nullspace
-    mode B is locally representable after k steps of the scaled time
-    evolution operator (I - dt D^{-1} A), restricted to the sparsity of A.
+    (Olson, Schroder, Tuminaro, "A new perspective on strength measures
+    in algebraic multigrid", 2010; amg_core evolution_strength_helper +
+    incomplete_mat_mult_csr + min_blocks, SURVEY.md:128, :159).
 
-    Implementation: form the evolution operator product restricted to the
-    pattern of A^k via masked SpGEMM (amg_core incomplete_mat_mult_csr
-    analog — here scipy SpGEMM followed by pattern masking, which is
-    numerically identical), then compute the angle-based measure against B
-    and drop entries weaker than ``epsilon`` relative to the row minimum.
+    Algorithm (scalar level; BSR input is handled by running the scalar
+    problem and amalgamating with per-block minimum at the end):
+
+    1. ``S = I - (1/rho(D^-1 A)) D^-1 A`` — one step of the scaled time
+       evolution operator (data-dependent dt = 1/rho).
+    2. ``Atilde = S^k`` with the FINAL product restricted to the pattern
+       of A via incomplete (masked) SpGEMM: full squarings for the first
+       floor(log2 k)-1 doublings, masked product last, then masked
+       incremental products for any non-power-of-two remainder.  Each
+       row i of Atilde is the evolved delta function delta_i sampled on
+       A's pattern.
+    3. Constrained least-squares measure against the near-nullspace B
+       (the "angle" measure): for each row i with pattern J and evolved
+       values z, solve
+
+           min_a sum_{j in J} w_j |B[j]·a − z_j|^2   s.t.  B[i]·a = z_i
+
+       with w_j = 1 (proj_type='l2') or |A_jj| (proj_type='D_A'); the
+       DISTANCE of connection (i,j) is d_ij = |B[j]·a − z_j| (small =
+       strong; d_ii = 0 by the constraint).
+    4. ``symmetrize_measure``: d <- (d + d^T)/2 elementwise.
+    5. BSR: amalgamate the scalar DISTANCES with per-block MINIMUM
+       (min_blocks): a block connection is as strong (small-distance)
+       as its strongest stored scalar entry; absent entries are inf.
+    6. Drop weak entries: keep j with d_ij <= epsilon * min_{l != i}
+       d_il (epsilon >= 1; the apply_distance_filter semantics).
+    7. Invert surviving distances (large = strong), scale each row by
+       its largest entry, set the diagonal to 1.
     """
-    A = A.tocsr() if A.format not in ("csr", "bsr") else A
+    if epsilon < 1:
+        raise ValueError("expected epsilon >= 1 (drop relative to row min)")
+    if k < 1:
+        raise ValueError("expected k >= 1 time steps")
     bs = blocksize(A)
     Acsr = sp.csr_matrix(A)
+    # BSR->CSR conversion stores the zero-padding inside blocks; those are
+    # not connections and must not enter the evolution pattern
+    Acsr.eliminate_zeros()
+    Acsr.sort_indices()
     n = Acsr.shape[0]
     if B is None:
-        B = np.ones((n, 1), dtype=Acsr.dtype)
-    B = np.asarray(B)
+        B = np.ones((n, 1), dtype=float)
+    B = np.asarray(B, dtype=float)
     if B.ndim == 1:
         B = B.reshape(-1, 1)
+    nb = B.shape[1]
 
-    # Smallest nonzero |diag| scaling: dt = 1/rho(D^-1 A)
+    # --- 1-2: evolved deltas on A's pattern ---------------------------
     d = Acsr.diagonal()
     with np.errstate(divide="ignore", invalid="ignore"):
         dinv = np.where(d != 0, 1.0 / d, 0.0)
@@ -307,91 +358,110 @@ def evolution_strength_of_connection(
     rho = approximate_spectral_radius(DinvA)
     if rho == 0:
         rho = 1.0
-    E = sp.identity(n, format="csr", dtype=Acsr.dtype) - (1.0 / rho) * DinvA
+    S = sp.identity(n, format="csr", dtype=np.float64) - (
+        1.0 / rho) * DinvA.real.astype(np.float64)
 
-    # exact k-step evolution (k is small, default 2)
-    Ek = E
-    for _ in range(k - 1):
-        Ek = sp.csr_matrix(Ek @ E)
+    nsquare = int(np.log2(k)) if k > 1 else 0
+    ninc = k - 2 ** nsquare
+    Atilde = S
+    if nsquare > 0:
+        for _ in range(nsquare - 1):
+            Atilde = sp.csr_matrix(Atilde @ Atilde)
+        Atilde = _incomplete_mat_mult(Atilde, Atilde, Acsr)
+    for _ in range(ninc):
+        Atilde = _incomplete_mat_mult(Atilde, S, Acsr)
+    if k == 1:
+        Atilde = _incomplete_mat_mult(
+            Atilde, sp.identity(n, format="csr"), Acsr)
+    Atilde.sort_indices()
 
-    # angle measure: for row i, how well does column j's evolution entry
-    # align with B?  Use the standard |1 - (Ek_ij B_j)/(Ek_ii B_i)| measure
-    # generalized over candidates via a least-squares projection.
-    Ek = sp.csr_matrix(Ek)
-    rows = np.repeat(np.arange(n), np.diff(Ek.indptr))
-    cols = Ek.indices
-    vals = Ek.data
-
-    if B.shape[1] == 1:
-        # single candidate: ratio test — how accurately the evolved delta
-        # at j predicts the near-nullspace value at i
-        b = B[:, 0]
-        diag_of_Ek = Ek.diagonal()
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ref = diag_of_Ek[rows] * b[rows]
-            cur = vals * b[cols]
-            measure = np.abs(
-                np.where(np.abs(ref) > 0, 1.0 - cur / np.where(ref == 0, 1, ref), np.inf)
-            )
+    # --- 3: constrained LS distance measure ---------------------------
+    indptr = Atilde.indptr
+    cols = Atilde.indices
+    z = np.real(Atilde.data).astype(np.float64)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    if proj_type == "D_A":
+        w_all = np.abs(d).astype(np.float64)
     else:
-        # multi-candidate: per-row least-squares projection of the evolved
-        # row onto span(B) over its neighborhood (the amg_core
-        # evolution_strength_helper's constrained fit, batched over rows
-        # padded to the max neighborhood size); the measure is the
-        # pointwise projection error normalized by the entry magnitude.
-        lens = np.diff(Ek.indptr)
-        nmax = int(lens.max()) if n else 0
-        mask = np.arange(nmax)[None, :] < lens[:, None]
-        pad_cols = np.zeros((n, nmax), dtype=np.int64)
-        pad_vals = np.zeros((n, nmax), dtype=np.float64)
-        if Ek.nnz:
-            pad_cols[mask] = cols
-            pad_vals[mask] = np.real(vals)
-        Bn = np.where(mask[:, :, None], B[pad_cols].real, 0.0)  # (n, m, k)
-        # normal equations per row: (B^T B) c = B^T z
-        G = np.einsum("nmk,nml->nkl", Bn, Bn)
-        rhs = np.einsum("nmk,nm->nk", Bn, pad_vals)
-        Ginv = G.copy()
-        from .util.linalg import pinv_array
+        w_all = np.ones(n)
+    Wv = w_all[cols]
 
-        pinv_array(Ginv)
-        coef = np.einsum("nkl,nl->nk", Ginv, rhs)
-        fit = np.einsum("nmk,nk->nm", Bn, coef)
-        err = np.abs(pad_vals - fit)
-        scale = np.maximum(np.abs(pad_vals), 1e-12)
-        measure_pad = np.where(mask, err / scale, np.inf)
-        measure = measure_pad[mask]
+    Bc = B[cols]                                    # (nnz, nb)
+    # per-row G = sum_j w_j B_j B_j^T and g = sum_j w_j B_j z_j
+    contrib_G = (Wv[:, None, None] * Bc[:, :, None] * Bc[:, None, :])
+    contrib_g = Wv[:, None] * Bc * z[:, None]
+    nz = np.diff(indptr) > 0
+    G = np.zeros((n, nb, nb))
+    g = np.zeros((n, nb))
+    if len(cols) and nz.any():
+        starts = indptr[:-1][nz]
+        G[nz] = np.add.reduceat(contrib_G, starts, axis=0)
+        g[nz] = np.add.reduceat(contrib_g, starts, axis=0)
 
-    offdiag = rows != cols
-    measure = np.where(offdiag, measure, 0.0)
-    # small measure = strong; drop if measure > epsilon * row-min
-    big = np.where(offdiag & (measure > 0), measure, np.inf)
-    rowmin = _row_reduce(big, Ek.indptr, n, np.minimum, empty=np.inf)
-    finite_rowmin = np.where(np.isfinite(rowmin), rowmin, 0.0)
-    keep = offdiag & (measure <= epsilon * np.maximum(finite_rowmin[rows], 1e-300)) & np.isfinite(measure)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        strength = np.where(keep, 1.0 / np.maximum(measure, 1e-12), 0.0)
-    keep_all = keep | ~offdiag
-    data = np.where(keep, strength, 0.0)
-    S = sp.csr_matrix(
-        (data[keep_all], cols[keep_all], _recount_indptr(keep_all, Ek.indptr, n)),
-        shape=(n, n),
-    )
+    # KKT system for the exact-at-i constraint B[i]·a = z_i
+    diag_entry = np.zeros(n)
+    is_diag = rows == cols
+    diag_entry[rows[is_diag]] = z[is_diag]
+    K = np.zeros((n, nb + 1, nb + 1))
+    K[:, :nb, :nb] = G
+    K[:, :nb, nb] = B
+    K[:, nb, :nb] = B
+    rhs = np.concatenate([g, diag_entry[:, None]], axis=1)
+    # batched pseudo-inverse: the KKT system goes singular whenever the
+    # candidate columns are linearly dependent on a small neighborhood
+    # (common for rigid-body modes near boundaries); pinv gives the
+    # deterministic min-norm fit there
+    sol = np.einsum("nij,nj->ni", np.linalg.pinv(K), rhs)
+    alpha = sol[:, :nb]
+
+    fit = np.einsum("ek,ek->e", Bc, alpha[rows])
+    dist = np.abs(fit - z)
+    dist[is_diag] = 0.0
+
+    Dm = sp.csr_matrix((dist, cols.copy(), indptr.copy()), shape=(n, n))
+
+    # --- 4: symmetrize the measure ------------------------------------
     if symmetrize_measure:
-        S = 0.5 * (S + S.T)
-        S = sp.csr_matrix(S)
-    # restrict back to pattern of A (amalgamated if block)
+        Dm = sp.csr_matrix(0.5 * (Dm + Dm.T))
+        Dm.sort_indices()
+
+    # --- 5: BSR amalgamation by per-block MINIMUM distance (min_blocks):
+    # a block connection is as strong as its strongest scalar entry;
+    # absent scalar entries inside a stored block count as inf, NOT 0
     if bs > 1:
-        pattern = _block_amalgamate(A.tobsr(), norm="abs")
-    else:
-        pattern = Acsr
-    pattern = sp.csr_matrix(
-        (np.ones(pattern.nnz), pattern.indices, pattern.indptr), shape=pattern.shape
-    )
-    if S.shape == pattern.shape:
-        S = sp.csr_matrix(S.multiply(pattern))
-    S = scale_rows_by_largest_entry(S)
-    return _set_diagonal_to(S, 1.0)
+        present = sp.csr_matrix(
+            (np.ones(Dm.nnz), Dm.indices, Dm.indptr), shape=Dm.shape)
+        Db = Dm.tobsr(blocksize=(bs, bs))
+        Pb = present.tobsr(blocksize=(bs, bs))
+        blockdist = np.where(Pb.data > 0, Db.data, np.inf).min(axis=(1, 2))
+        n = n // bs
+        Dm = sp.csr_matrix(
+            (blockdist, Db.indices, Db.indptr), shape=(n, n))
+        Dm.sort_indices()
+
+    # --- 6: epsilon drop relative to the row minimum ------------------
+    indptr = Dm.indptr
+    cols = Dm.indices
+    dist = Dm.data
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    offdiag = rows != cols
+    big = np.where(offdiag, dist, np.inf)
+    big = np.where(big > 0, big, np.inf)   # exact fits count as strongest
+    rowmin = _row_reduce(big, indptr, n, np.minimum, empty=np.inf)
+    finite_min = np.where(np.isfinite(rowmin), rowmin, 0.0)
+    keep = (offdiag & np.isfinite(dist)
+            & (dist <= epsilon * np.maximum(finite_min[rows], 1e-300)))
+
+    # --- 7: invert, scale, unit diagonal ------------------------------
+    with np.errstate(divide="ignore"):
+        strength = np.where(keep, 1.0 / np.maximum(dist, 1e-14), 0.0)
+    keep_all = keep | ~offdiag
+    S_sc = sp.csr_matrix(
+        (strength[keep_all], cols[keep_all],
+         _recount_indptr(keep_all, indptr, n)),
+        shape=(n, n))
+    S_sc = scale_rows_by_largest_entry(S_sc)
+    return _set_diagonal_to(S_sc, 1.0)
 
 
 def energy_based_strength_of_connection(A, theta=0.0, k=2):
