@@ -47,12 +47,19 @@ __all__ = ["make_pallas_halo_spmv"]
 _LANES = 128
 
 
-def make_pallas_halo_spmv(dia: DIAMatrix, mesh, axis="x"):
+def make_pallas_halo_spmv(dia: DIAMatrix, mesh, axis="x", interpret=False):
     """Build the overlapped halo-exchange SpMV for a row-sharded DIA A.
 
     Returns ``(spmv, place)`` like make_halo_dia_spmv; requires the TPU
     backend, n_pad divisible by (mesh size * 128) and halo a multiple-of
     -128-coverable width (rounded up internally).
+
+    ``interpret=True`` runs the kernel under the Pallas TPU interpreter
+    (pltpu.InterpretParams), which SIMULATES the remote DMAs and
+    semaphores on CPU devices — this is how the kernel's numerics
+    (including the ring-neighbor indexing in steps 2-4) are validated on
+    the virtual multi-device mesh without TPU slice hardware
+    (tests/test_parallel.py::test_pallas_halo_spmv_interpret).
     """
     if pltpu is None:
         raise RuntimeError("pallas TPU backend unavailable")
@@ -71,8 +78,13 @@ def make_pallas_halo_spmv(dia: DIAMatrix, mesh, axis="x"):
     def kernel(x_ref, data_ref, y_ref, xext, dvm, yv, sems, send_sems,
                recv_sems):
         my_id = lax.axis_index(axis)
-        left = lax.rem(my_id - 1 + ndev, ndev)
-        right = lax.rem(my_id + 1, ndev)
+        # np.int32 literals: under jax_enable_x64 python ints promote to
+        # i64, which mismatches axis_index's i32 (and Mosaic cannot
+        # legalize i64 anyway — CLAUDE.md backend rule 3)
+        nd = np.int32(ndev)
+        one = np.int32(1)
+        left = lax.rem(my_id - one + nd, nd)
+        right = lax.rem(my_id + one, nd)
 
         # 1. local x and diagonal data -> VMEM
         cp_x = pltpu.make_async_copy(x_ref, xext.at[pl.ds(halo, n_local)],
@@ -149,12 +161,17 @@ def make_pallas_halo_spmv(dia: DIAMatrix, mesh, axis="x"):
         ],
     )
 
+    call_kwargs = {}
+    if interpret:
+        call_kwargs["interpret"] = pltpu.InterpretParams()
+
     def local_call(data_loc, x_loc):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_local,), jnp.float32),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            **call_kwargs,
         )(x_loc, data_loc)
 
     fn = shard_map(
