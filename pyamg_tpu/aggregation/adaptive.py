@@ -28,6 +28,52 @@ def _relax_homogeneous(A, x, iters, spec):
     return x
 
 
+def _initial_setup_stage(A, candidate_iters, prepostsmoother, strength,
+                         aggregate, smooth, max_levels, max_coarse, rng):
+    """The reference's staged initial setup ([R] pyamg/aggregation/
+    adaptive.py::initial_setup_stage, SURVEY.md §2.2): construct a
+    throwaway hierarchy level by level, relaxing the candidate on
+    A_l x = 0 AT EVERY LEVEL on the way down (each level's relaxation
+    exposes the smooth error that level cannot reduce), then interpolate
+    back up with relaxation at every level.  Returns the bootstrapped
+    fine-level candidate and the work spent (in units of finest nnz).
+    """
+    from .aggregation import (_do_aggregate, _smooth_prolongator,
+                              _strength_measure)
+    from .tentative import fit_candidates
+
+    nnz0 = max(A.nnz, 1)
+    work = 0.0
+    path = []                       # (A_l, P) pairs, fine -> coarse
+    A_l = A
+    x = (rng.random(A_l.shape[0]) - 0.5).astype(
+        np.promote_types(A.dtype, np.float64))
+    _relax_homogeneous(A_l, x, candidate_iters, prepostsmoother)
+    work += candidate_iters * A_l.nnz / nnz0
+
+    while A_l.shape[0] > max_coarse and len(path) < max_levels - 1:
+        C = _strength_measure(A_l, strength)
+        AggOp, _ = _do_aggregate(C, aggregate, A=A_l)
+        Bl = x.reshape(-1, 1)
+        T, x_c = fit_candidates(AggOp, Bl)
+        P = _smooth_prolongator(smooth, A_l, T, C, Bl)
+        R = P.conjugate().T.tocsr()
+        A_next = sp.csr_matrix(R @ (sp.csr_matrix(A_l) @ P))
+        path.append((A_l, P))
+        A_l = A_next
+        x = np.asarray(x_c[:, 0]).copy()
+        if A_l.shape[0] > 1:
+            _relax_homogeneous(A_l, x, candidate_iters, prepostsmoother)
+            work += candidate_iters * A_l.nnz / nnz0
+
+    # interpolate the coarse candidate back up, relaxing per level
+    for A_l, P in reversed(path):
+        x = np.asarray(P @ x)
+        _relax_homogeneous(A_l, x, candidate_iters, prepostsmoother)
+        work += candidate_iters * A_l.nnz / nnz0
+    return x, work
+
+
 def adaptive_sa_solver(
     A,
     initial_candidates=None,
@@ -67,11 +113,15 @@ def adaptive_sa_solver(
             max_levels=max_levels, max_coarse=max_coarse, keep=keep,
             coarse_solver=coarse_solver, **kwargs)
 
-    # ----- initial setup stage -----
+    # ----- initial setup stage (staged, per-level — reference form) ----
     if initial_candidates is None:
-        x = rng.random(n).astype(np.promote_types(A.dtype, np.float64)) - 0.5
-        x = _relax_homogeneous(A, x, candidate_iters, prepostsmoother)
-        work += candidate_iters * A.nnz / A.nnz
+        x, w = _initial_setup_stage(
+            A, candidate_iters, prepostsmoother,
+            strength if not isinstance(strength, list) else strength[0],
+            aggregate if not isinstance(aggregate, list) else aggregate[0],
+            smooth if not isinstance(smooth, list) else smooth[0],
+            max_levels, max_coarse, rng)
+        work += w
         nrm = norm(x)
         if nrm == 0:
             x = np.ones(n, dtype=x.dtype)
@@ -83,14 +133,18 @@ def adaptive_sa_solver(
             B = B.reshape(-1, 1)
     ml = build(B)
 
-    # polish the bootstrapped candidate through the hierarchy itself (the
-    # reference's initial_setup_stage relaxes at every level; cycling on
-    # A x = 0 achieves the same exposure of algebraically smooth error)
+    # test the bootstrapped hierarchy on A x = 0; ONLY if it still
+    # converges slower than the epsilon target does the exposed slow mode
+    # replace the candidate (replacing unconditionally would swap a good
+    # candidate for the hierarchy's numerical-noise worst mode)
     if initial_candidates is None:
-        x = _run_homogeneous(ml, B[:, 0].copy(), candidate_iters, [])
+        resid = []
+        x = _run_homogeneous(ml, B[:, 0].copy(), candidate_iters, resid)
         work += candidate_iters * ml.cycle_complexity()
+        fac = ((resid[-1] / resid[0]) ** (1.0 / candidate_iters)
+               if resid and resid[0] > 0 else 0.0)
         nrm = norm(x)
-        if nrm > 0:
+        if fac > epsilon and nrm > 0:
             B = (x / nrm).reshape(-1, 1)
             ml = build(B)
 
@@ -116,8 +170,13 @@ def adaptive_sa_solver(
             ml_tmp = build(Bother) if Bother.shape[1] else None
             x = B[:, c].copy()
             if ml_tmp is not None:
-                x = _run_homogeneous(ml_tmp, x, candidate_iters, [])
+                resid = []
+                x = _run_homogeneous(ml_tmp, x, candidate_iters, resid)
                 work += candidate_iters * ml_tmp.cycle_complexity()
+                fac = ((resid[-1] / resid[0]) ** (1.0 / candidate_iters)
+                       if resid and resid[0] > 0 else 0.0)
+                if fac <= epsilon:
+                    continue  # the other candidates already suffice
             else:
                 x = _relax_homogeneous(A, x, candidate_iters,
                                        prepostsmoother)

@@ -330,14 +330,29 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
             return DIAMatrix(data=op.data.astype(dia_storage),
                              offsets=op.offsets, shape=op.shape, nnz=op.nnz)
         return op
+    from ..sparse.block_dia import block_dia_from_scipy
+
     host_levels = ml.levels
     levels = []
     for i, lvl in enumerate(host_levels[:-1]):
         A = sp.csr_matrix(lvl.A)
         n = A.shape[0]
         n_pad = pad_to(n, row_pad)
-        A_dev = _maybe_compress(select_operator(A, dtype=dtype,
-                                                row_pad=row_pad))
+        A_dev = None
+        # BSR operators (elasticity & friends) go through the gather-free
+        # block-DIA path so block smoothers run blocked on device
+        # (round-2; SURVEY.md §7 design stance "padded BSR for
+        # solve-phase speed")
+        if (sp.issparse(lvl.A) and lvl.A.format == "bsr"
+                and lvl.A.blocksize[0] == lvl.A.blocksize[1]
+                and lvl.A.blocksize[0] > 1
+                and n > 2048
+                and n_pad % lvl.A.blocksize[0] == 0):
+            A_dev = block_dia_from_scipy(lvl.A, dtype=dtype, n_pad=n_pad,
+                                         max_diags=600)
+        if A_dev is None:
+            A_dev = _maybe_compress(select_operator(A, dtype=dtype,
+                                                    row_pad=row_pad))
         P_dev = select_operator(sp.csr_matrix(lvl.P), dtype=dtype,
                                 row_pad=row_pad)
         R_dev = select_operator(sp.csr_matrix(lvl.R), dtype=dtype,

@@ -2,6 +2,7 @@
 
 from .dia import (DenseOperator, DIAMatrix, dense_from_scipy,
                   dia_from_scipy, dia_from_stencil, dia_spgemm)
+from .block_dia import BlockDIAMatrix, block_dia_from_scipy
 from .window import WindowedELL, windowed_from_scipy
 from .formats import (
     BlockELLMatrix,
@@ -50,7 +51,9 @@ def select_operator(A, dtype=None, row_pad=8, dense_threshold=2048,
 
 
 __all__ = [
+    "BlockDIAMatrix",
     "BlockELLMatrix",
+    "block_dia_from_scipy",
     "DenseOperator",
     "DIAMatrix",
     "ELLMatrix",

@@ -356,3 +356,47 @@ def test_rmatvec_formats():
     np.testing.assert_allclose(
         np.asarray(W.rmatvec(pad_vector(jnp.asarray(x), W.n_pad)))[:n],
         want, atol=1e-12)
+
+
+def test_block_dia_matvec_golden():
+    """BlockDIAMatrix (gather-free BSR path) vs scipy BSR matvec."""
+    from pyamg_tpu.sparse import block_dia_from_scipy
+
+    A, _ = linear_elasticity((9, 7))
+    A = A.tobsr()
+    n = A.shape[0]
+    D = block_dia_from_scipy(A, dtype=jnp.float64, n_pad=n + 6)
+    rng = np.random.default_rng(3)
+    x = rng.random(n)
+    xp = pad_vector(jnp.asarray(x), D.n_pad)
+    np.testing.assert_allclose(np.asarray(D @ xp)[:n], A @ x, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(D.rmatvec(xp))[:n], A.T @ x,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(D.diagonal())[:n], A.diagonal(),
+                               atol=1e-14)
+
+
+def test_device_elasticity_block_dia_path():
+    """Config-4 style elasticity runs BLOCKED on device (round-1 verdict
+    item 5): level-0 operator is BlockDIAMatrix, solve matches host."""
+    import warnings as _w
+
+    import pyamg_tpu
+    from pyamg_tpu.sparse import BlockDIAMatrix
+
+    A, B = linear_elasticity((48, 48))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ml = pyamg_tpu.rootnode_solver(A, B=B, strength="symmetric")
+    b = np.random.default_rng(5).random(A.shape[0])
+    res_h = []
+    ml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res_h)
+
+    dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    assert isinstance(dml.hierarchy.levels[0].A, BlockDIAMatrix), \
+        type(dml.hierarchy.levels[0].A)
+    res_d = []
+    xd = dml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res_d)
+    assert np.linalg.norm(b - A @ xd) / np.linalg.norm(b) < 1e-7
+    # multicolor block GS vs sequential block GS: factor parity band
+    assert abs(len(res_d) - len(res_h)) <= 6, (len(res_d), len(res_h))
