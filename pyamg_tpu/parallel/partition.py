@@ -87,31 +87,67 @@ def _shard_op(mesh, E, axis="x"):
     )
 
 
-def shard_hierarchy(hierarchy, mesh, axis="x"):
-    """Place a DeviceHierarchy's operators row-sharded on ``mesh``.
+def _level_groups(n_pad, ndev, min_local_rows):
+    """Pick the number of shard groups for a level: the largest
+    power-of-two divisor k of ndev keeping >= min_local_rows rows per
+    shard.  k == ndev: full sharding; 1 < k < ndev: the level is
+    redistributed onto k device groups (each group's shard replicated
+    across the ndev/k devices within it); k == 1: fully replicated
+    (agglomerated)."""
+    k = 1
+    cand = 2
+    while cand <= ndev and ndev % cand == 0 and n_pad % cand == 0 \
+            and n_pad // cand >= max(min_local_rows, 1):
+        k = cand
+        cand *= 2
+    return k
 
-    Levels whose padded size is not divisible by the mesh size stay
-    replicated (deep-coarse agglomeration: tiny levels live on one
-    device — the coarse-level agglomeration strategy of BASELINE.json:5).
-    The coarse dense inverse is replicated.
 
-    Note: compile the hierarchy with ``row_pad = 8 * mesh_size`` so the
-    fine levels divide evenly.
+def _submesh(mesh, k, axis):
+    """Reshape the 1-D solver mesh into (k, ndev/k): rows shard over
+    ``axis``, replicate over 'rep'.  Same device order as the parent
+    mesh, so GSPMD composes shardings from both in one program."""
+    ndev = mesh.devices.size
+    if k == ndev:
+        return mesh
+    devs = mesh.devices.reshape(k, ndev // k)
+    return Mesh(devs, (axis, "rep"),
+                axis_types=(jax.sharding.AxisType.Auto,) * 2)
+
+
+def shard_hierarchy(hierarchy, mesh, axis="x", min_local_rows=256):
+    """Place a DeviceHierarchy's operators row-sharded on ``mesh``, with
+    POWER-OF-TWO COARSE-LEVEL AGGLOMERATION (round-1 verdict item 7 /
+    BASELINE.json:5): each level is sharded over the largest
+    power-of-two device-group count that keeps >= ``min_local_rows``
+    rows per shard.  Mid-hierarchy levels therefore land on device
+    SUBSETS (shard over k groups, replicated within each group) instead
+    of jumping straight from fully-sharded to fully-replicated; only
+    genuinely tiny levels replicate everywhere.  The coarse dense
+    inverse is replicated.
+
+    Note: compile the hierarchy with ``row_pad = 8 * mesh_size`` (or
+    128 * mesh_size on TPU) so level paddings divide evenly.
     """
     from ..engine.hierarchy import DeviceHierarchy, DeviceLevel
 
     ndev = mesh.devices.size
     new_levels = []
     for lvl in hierarchy.levels:
-        divisible = lvl.n_pad % ndev == 0
-        if divisible:
-            A = _shard_op(mesh, lvl.A, axis)
-            Pop = _shard_op(mesh, lvl.P, axis)
-            # R rows live on the coarse level
-            if lvl.R is not None and lvl.R.n_pad % ndev == 0:
-                R = _shard_op(mesh, lvl.R, axis)
+        k = _level_groups(lvl.n_pad, ndev, min_local_rows)
+        if k > 1:
+            m = _submesh(mesh, k, axis)
+            A = _shard_op(m, lvl.A, axis)
+            Pop = _shard_op(m, lvl.P, axis)
+            # R rows live on the coarse level — shard by the COARSE
+            # level's group count so the restricted vector lands in the
+            # next level's layout
+            if lvl.R is not None:
+                kc = _level_groups(lvl.R.n_pad, ndev, min_local_rows)
+                R = _shard_op(_submesh(mesh, kc, axis), lvl.R, axis) \
+                    if kc > 1 else lvl.R
             else:
-                R = lvl.R
+                R = None
         else:
             A, Pop, R = lvl.A, lvl.P, lvl.R
         new_levels.append(DeviceLevel(

