@@ -109,8 +109,8 @@ class DeviceHierarchy:
 def _device_dinv(A_scipy, n_pad, dtype):
     d = A_scipy.diagonal()
     with np.errstate(divide="ignore", invalid="ignore"):
-        dinv = np.where(d != 0, 1.0 / d, 0.0)
-    out = np.zeros(n_pad, dtype=np.float64)
+        dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+    out = np.zeros(n_pad, dtype=dinv.dtype)
     out[: len(dinv)] = dinv
     return jnp.asarray(out, dtype=dtype)
 
@@ -302,10 +302,51 @@ def _compile_smoother(lvl, spec, dtype, n_pad):
                                                omega=omega,
                                                iterations=iterations)
 
+    if name in ("schwarz", "strength_based_schwarz"):
+        # device form: contiguous sliding windows instead of the
+        # reference's strength-based per-node subdomains (gather-free;
+        # convergence-equivalent overlapping Schwarz)
+        warnings.warn(
+            f"'{name}': substituting windowed overlapping Schwarz "
+            "(contiguous sliding subdomains — the gather-free TPU form)")
+        w = int(kwargs.get("window", 16))
+        s = int(kwargs.get("stride", 8))
+        if w % s != 0:
+            raise ValueError("schwarz window must be a multiple of stride")
+        if n_pad % s != 0:
+            return _mcgs_or_chebyshev(kwargs.get("sweep", "symmetric"))
+        inv_blocks = _windowed_schwarz_blocks(Acsr, n_pad, w, s)
+        return device_relaxation.windowed_schwarz(
+            jnp.asarray(inv_blocks, dtype=dtype), w, s,
+            omega=float(kwargs.get("omega", 1.0)), iterations=iterations)
+
     warnings.warn(
         f"smoother '{name}' has no device form; substituting hybrid "
         "multicolor Gauss-Seidel (convergence-equivalent TPU smoother)")
     return _mcgs_or_chebyshev(kwargs.get("sweep", "symmetric"))
+
+
+def _windowed_schwarz_blocks(Acsr, n_pad, w, s):
+    """Batched pseudo-inverses of the circular sliding-window subblocks
+    A[i*s : i*s+w, i*s : i*s+w], built from the matrix diagonals
+    (vectorized — no per-window sparse slicing)."""
+    n = Acsr.shape[0]
+    nwin = n_pad // s
+    blocks = np.zeros((nwin, w, w))
+    for k in range(-(w - 1), w):
+        dk = np.asarray(Acsr.diagonal(k)).ravel()
+        if dk.size == 0:
+            continue
+        val = np.zeros(n_pad)
+        if k >= 0:
+            val[: n - k] = dk          # val[r] = A[r, r+k]
+        else:
+            val[-k: n] = dk            # val[r] = A[r, r+k], r >= |k|
+        ext = np.concatenate([val, val[: w]])   # circular windows
+        V = np.lib.stride_tricks.sliding_window_view(ext, w)[::s][:nwin]
+        ps = np.arange(max(0, -k), min(w, w - k))
+        blocks[:, ps, ps + k] = V[:, ps]
+    return np.linalg.pinv(blocks)
 
 
 def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
@@ -367,8 +408,9 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
     Ac = sp.csr_matrix(host_levels[-1].A)
     nc = Ac.shape[0]
     nc_pad = pad_to(nc, row_pad)
-    coarse_inv = np.zeros((nc_pad, nc_pad))
-    coarse_inv[:nc, :nc] = np.linalg.pinv(Ac.toarray())
+    pinv_c = np.linalg.pinv(Ac.toarray())
+    coarse_inv = np.zeros((nc_pad, nc_pad), dtype=pinv_c.dtype)
+    coarse_inv[:nc, :nc] = pinv_c
     Ac_dev = select_operator(Ac, dtype=dtype, row_pad=row_pad)
     ident = device_relaxation.identity()
     levels.append(DeviceLevel(A=Ac_dev, P=None, R=None, pre=ident,

@@ -138,6 +138,24 @@ def jacobi_nr(dinv_nr, omega, iterations=1):
         arrays=(dinv_nr,))
 
 
+def windowed_schwarz(inv_blocks, window, stride, omega=1.0, iterations=1):
+    """Damped additive overlapping Schwarz over CONTIGUOUS windows.
+
+    The TPU form of the reference's overlapping Schwarz smoother
+    (amg_core overlapping_schwarz_csr, SURVEY.md §2.4 relaxation.h):
+    instead of strength-based per-node subdomains (whose application
+    needs gathers), subdomains are the circular sliding windows
+    [i*stride, i*stride + window); extraction and overlap-add are pure
+    rolls/reshapes, the dense subdomain solves are one batched einsum.
+    Each point lies in exactly window/stride subdomains, so the additive
+    update is damped by stride/window (partition of unity).
+    """
+    return DeviceSmoother(
+        config=("win_schwarz", int(window), int(stride), float(omega),
+                int(iterations)),
+        arrays=(inv_blocks,))
+
+
 def masked_jacobi(dinv, masks, iters_per_mask, omega=1.0, iterations=1):
     """Ordered masked Jacobi (device cf/fc_jacobi): masks applied in
     order, each with its own sweep count."""
@@ -272,6 +290,24 @@ def apply_smoother(config, arrays, A, x, b):
         for _ in range(iterations):
             upd = A.rmatvec(b - (A @ x))
             x = x + omega * (dinv * _fit_len(upd, x.shape[0]))
+        return x
+
+    if kind == "win_schwarz":
+        _, w, s, omega, iterations = config
+        (inv_blocks,) = arrays
+        q = w // s
+        nwin = inv_blocks.shape[0]
+        for _ in range(iterations):
+            r = b - (A @ x)
+            Wn = jnp.concatenate(
+                [jnp.roll(r, -c * s).reshape(nwin, s) for c in range(q)],
+                axis=1)                                   # (nwin, w)
+            u = jnp.einsum("nij,nj->ni", inv_blocks, Wn)
+            upd = jnp.zeros_like(r)
+            for c in range(q):
+                upd = upd + jnp.roll(
+                    u[:, c * s:(c + 1) * s].reshape(-1), c * s)
+            x = x + (omega / q) * upd
         return x
 
     if kind == "masked_jacobi":

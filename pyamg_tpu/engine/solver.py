@@ -29,8 +29,10 @@ from .krylov import device_bicgstab, device_cg, device_fgmres
 __all__ = ["DeviceMultilevelSolver", "as_device_solver"]
 
 
-def _make_cycle(nlev, cycle):
-    """Build the trace-time cycle recursion (SURVEY.md §7 step 3)."""
+def _make_cycle(nlev, cycle, amli_depth=2):
+    """Build the trace-time cycle recursion (SURVEY.md §7 step 3).
+    ``amli_depth`` = number of A_c-orthogonalized coarse corrections per
+    AMLI visit (host parity: MultilevelSolver.solve(amli_depth=...))."""
 
     def visit(h, i, x, b, kind):
         lvl = h.levels[i]
@@ -56,7 +58,7 @@ def _make_cycle(nlev, cycle):
                 rc_cur = rc
                 p_prev = None
                 Ap_prev = None
-                for _k in range(2):
+                for _k in range(max(int(amli_depth), 1)):
                     p = visit(h, i + 1,
                               jnp.zeros(h.levels[i + 1].n_pad,
                                         dtype=b.dtype),
@@ -95,14 +97,14 @@ class DeviceMultilevelSolver:
         self._jit_cache = {}
 
     def _get_compiled(self, cycle, accel, maxiter, restart,
-                      precision="native"):
-        key = (cycle, accel, maxiter, restart, precision,
+                      precision="native", amli_depth=2):
+        key = (cycle, accel, maxiter, restart, precision, amli_depth,
                jax.tree_util.tree_structure(self.hierarchy))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         nlev = len(self.hierarchy.levels)
-        one_cycle = _make_cycle(nlev, cycle)
+        one_cycle = _make_cycle(nlev, cycle, amli_depth)
         mixed = precision == "mixed"
         if mixed and self.hierarchy.A64 is None:
             raise ValueError("mixed precision requires a hierarchy compiled "
@@ -175,7 +177,7 @@ class DeviceMultilevelSolver:
 
     def solve(self, b, x0=None, tol=1e-8, maxiter=100, cycle="V",
               accel=None, residuals=None, return_info=False, restart=30,
-              precision="native"):
+              precision="native", amli_depth=2):
         """precision='native' runs entirely in the hierarchy dtype;
         'mixed' runs the outer Krylov loop in f64 on device with the f32
         cycle as preconditioner (reaches 1e-10 at device speed; requires
@@ -192,10 +194,11 @@ class DeviceMultilevelSolver:
             x0_dev = pad_vector(
                 jnp.asarray(np.asarray(x0).ravel(), dtype=dtype), n_pad)
         fn = self._get_compiled(str(cycle).upper(), accel, int(maxiter),
-                                int(restart), precision)
-        x, history, it = fn(h, b_dev, x0_dev, jnp.asarray(tol, dtype=dtype))
+                                int(restart), precision, int(amli_depth))
+        rdtype = np.zeros((), dtype=np.dtype(dtype)).real.dtype
+        x, history, it = fn(h, b_dev, x0_dev, jnp.asarray(tol, dtype=rdtype))
         x = np.asarray(x)[:n]
-        hist = np.asarray(history)
+        hist = np.real(np.asarray(history))
         hist = hist[~np.isnan(hist)]
         if residuals is not None:
             residuals[:] = list(hist)
@@ -206,10 +209,10 @@ class DeviceMultilevelSolver:
             return x, (0 if converged else int(it))
         return x
 
-    def cycle_operator(self, cycle="V"):
+    def cycle_operator(self, cycle="V", amli_depth=2):
         """Jitted one-cycle application: r (padded) -> M r (padded)."""
         one_cycle = _make_cycle(len(self.hierarchy.levels),
-                                str(cycle).upper())
+                                str(cycle).upper(), amli_depth)
         fn = jax.jit(lambda h, r: one_cycle(h, jnp.zeros_like(r), r))
         return lambda r: fn(self.hierarchy, r)
 

@@ -197,7 +197,7 @@ class MultilevelSolver:
 
     def solve(self, b, x0=None, tol=1e-5, maxiter=100, cycle="V", accel=None,
               callback=None, residuals=None, return_info=False,
-              cycles_per_level=1, backend="host"):
+              cycles_per_level=1, backend="host", amli_depth=2):
         """Solve A x = b with multigrid cycling, optionally Krylov-wrapped.
 
         [R] pyamg/multilevel.py::solve.  ``residuals`` (a list) receives
@@ -269,7 +269,7 @@ class MultilevelSolver:
 
         it = 0
         while True:
-            self.__solve(0, x, b, cycle, cycles_per_level)
+            self.__solve(0, x, b, cycle, cycles_per_level, amli_depth)
             it += 1
             normr = norm(b - A @ x)
             residuals.append(normr)
@@ -322,7 +322,7 @@ class MultilevelSolver:
                 residuals[:] = [r0] + history
             return (x, info) if return_info else x
 
-    def __solve(self, lvl, x, b, cycle, cycles_per_level=1):
+    def __solve(self, lvl, x, b, cycle, cycles_per_level=1, amli_depth=2):
         """One recursive cycle visit at level ``lvl`` (in-place on x).
 
         [R] pyamg/multilevel.py::__solve recursion (SURVEY.md §3.2).
@@ -340,24 +340,27 @@ class MultilevelSolver:
             if cycle == "V":
                 for _ in range(max(int(cycles_per_level), 1)):
                     self.__solve(lvl + 1, coarse_x, coarse_b, "V",
-                                 cycles_per_level)
+                                 cycles_per_level, amli_depth)
             elif cycle == "W":
-                self.__solve(lvl + 1, coarse_x, coarse_b, cycle, cycles_per_level)
-                self.__solve(lvl + 1, coarse_x, coarse_b, cycle, cycles_per_level)
+                self.__solve(lvl + 1, coarse_x, coarse_b, cycle,
+                             cycles_per_level, amli_depth)
+                self.__solve(lvl + 1, coarse_x, coarse_b, cycle,
+                             cycles_per_level, amli_depth)
             elif cycle == "F":
-                self.__solve(lvl + 1, coarse_x, coarse_b, cycle, cycles_per_level)
-                self.__solve(lvl + 1, coarse_x, coarse_b, "V", 1)
+                self.__solve(lvl + 1, coarse_x, coarse_b, cycle,
+                             cycles_per_level, amli_depth)
+                self.__solve(lvl + 1, coarse_x, coarse_b, "V", 1, amli_depth)
             elif cycle == "AMLI":
                 # coarse-level Krylov correction: nAMLI orthogonalized
                 # preconditioned steps ([R] multilevel.py AMLI branch)
-                nAMLI = 2
+                nAMLI = max(int(amli_depth), 1)
                 Ac = self.levels[lvl + 1].A
                 p = np.zeros((nAMLI, coarse_b.shape[0]), dtype=coarse_b.dtype)
                 beta = np.zeros((nAMLI, nAMLI), dtype=coarse_b.dtype)
                 for k in range(nAMLI):
                     p[k, :] = 0
                     self.__solve(lvl + 1, p[k, :], coarse_b, cycle,
-                                 cycles_per_level)
+                                 cycles_per_level, amli_depth)
                     for j in range(k):
                         Apj = Ac @ p[j, :]
                         denom = np.inner(p[j, :].conj(), Apj)

@@ -125,7 +125,10 @@ def dia_from_scipy(A, dtype=jnp.float32, row_pad=8, max_diags=None):
     if max_diags is not None and len(offsets) > max_diags:
         return None
     d_index = np.searchsorted(offsets, offs_all)
-    data = np.zeros((len(offsets), n_pad), dtype=np.float64)
+    host_dt = (np.complex128 if jnp.issubdtype(jnp.dtype(dtype),
+                                               jnp.complexfloating)
+               else np.float64)
+    data = np.zeros((len(offsets), n_pad), dtype=host_dt)
     data[d_index, A.row] = A.data if data.size else 0
     return DIAMatrix(
         data=jnp.asarray(data, dtype=dtype),
@@ -183,7 +186,10 @@ def dense_from_scipy(A, dtype=jnp.float32, row_pad=8):
     n, m = A.shape
     n_pad = pad_to(max(n, 1), row_pad)
     m_pad = pad_to(max(m, 1), row_pad)
-    data = np.zeros((n_pad, m_pad), dtype=np.float64)
+    host_dt = (np.complex128 if jnp.issubdtype(jnp.dtype(dtype),
+                                               jnp.complexfloating)
+               else np.float64)
+    data = np.zeros((n_pad, m_pad), dtype=host_dt)
     data[:n, :m] = A.toarray()
     return DenseOperator(
         data=jnp.asarray(data, dtype=dtype), shape=(n, m), nnz=int(A.nnz))

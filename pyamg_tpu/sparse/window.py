@@ -184,9 +184,18 @@ class WindowedELL:
         y = jnp.zeros(self.m_chunks * self.w2, dtype=self.dtype)
         return y.at[gidx].add(self.data * xb)
 
+    def matmat(self, X):
+        """Y = A @ X for a padded column stack X (m_pad, k).
+
+        Batched RHS go through per-column matvecs (static unroll): the
+        Pallas kernel's window streaming is per-vector; XLA batches the
+        resulting programs.  Covers the engine's batched-RHS solves."""
+        cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)
+
     def __matmul__(self, x):
         if x.ndim != 1:
-            raise NotImplementedError("WindowedELL matmat not implemented")
+            return self.matmat(x)
         return self.matvec(x)
 
     def diagonal(self):
@@ -216,7 +225,10 @@ def windowed_from_scipy(A, dtype=jnp.float32, block=256, max_w2=16384):
     rows = np.repeat(np.arange(n), lens)
     slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], lens)
     cols = np.zeros((n_pad, k), dtype=np.int64)
-    vals = np.zeros((n_pad, k), dtype=np.float64)
+    host_dt = (np.complex128 if jnp.issubdtype(jnp.dtype(dtype),
+                                               jnp.complexfloating)
+               else np.float64)
+    vals = np.zeros((n_pad, k), dtype=host_dt)
     has = np.zeros((n_pad, k), dtype=bool)
     if A.nnz:
         cols[rows, slots] = A.indices

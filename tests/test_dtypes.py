@@ -103,3 +103,30 @@ def test_serialize_numpy_kwargs(tmp_path):
     res = []
     ml2.solve(b, tol=1e-8, residuals=res)
     assert res[-1] / res[0] < 1e-7
+
+
+def test_complex_device_solve():
+    """Complex Hermitian device path (gauge Laplacian) matches host: DIA/
+    dense/windowed staging, smoothers, Krylov all complex-aware (round-1
+    verdict item 8 engine hole)."""
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine import as_device_solver
+
+    A = gauge_laplacian(48, beta=0.05).tocsr()   # n = 2304 -> DIA path
+    ml = pyamg_tpu.smoothed_aggregation_solver(
+        A, symmetry="hermitian",
+        presmoother=("jacobi", {"omega": 4.0 / 3.0}),
+        postsmoother=("jacobi", {"omega": 4.0 / 3.0}))
+    rng = np.random.default_rng(0)
+    b = rng.random(A.shape[0]) + 1j * rng.random(A.shape[0])
+    res_h = []
+    ml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res_h)
+
+    dml = as_device_solver(ml, dtype=jnp.complex128, row_pad=8)
+    res_d = []
+    x = dml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res_d)
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+    # jacobi is order-free: histories match to rounding
+    m = min(len(res_h), len(res_d))
+    np.testing.assert_allclose(res_d[:m], res_h[:m], rtol=1e-8)

@@ -188,3 +188,54 @@ def test_gauss_seidel_ne_substitution_warns():
     dml.solve(b, tol=1e-8, maxiter=80, residuals=res)
     # rho-scaled Cimmino is a weak but unconditionally convergent smoother
     assert res[-1] / res[0] < 1e-4
+
+
+def test_schwarz_device_spec():
+    """('schwarz', {}) resolves to the windowed overlapping Schwarz
+    device form (round-1 verdict item 8: no more silent mcgs fallback)."""
+    import warnings as _w
+
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine import as_device_solver
+
+    A = poisson((20, 20), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("schwarz", {}), postsmoother=("schwarz", {}),
+        max_coarse=10)
+    res_h = []
+    ml.solve(np.ones(A.shape[0]), tol=1e-8, maxiter=60, residuals=res_h)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+    assert any("windowed overlapping Schwarz" in str(w.message)
+               for w in rec)
+    cfgs = {dml.hierarchy.levels[0].pre.config[0]}
+    assert "win_schwarz" in cfgs
+    res_d = []
+    dml.solve(np.ones(A.shape[0]), tol=1e-8, maxiter=80, residuals=res_d)
+    assert res_d[-1] / res_d[0] < 1e-7
+
+
+def test_amli_depth_parameterized():
+    """AMLI coarse-correction depth is a real parameter now, host and
+    device, and depth 3 still converges."""
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine import as_device_solver
+
+    A = poisson((24, 24), format="csr")
+    ml = smoothed_aggregation_solver(
+        A, presmoother=("jacobi", {"omega": 4.0 / 3.0}),
+        postsmoother=("jacobi", {"omega": 4.0 / 3.0}), max_coarse=10)
+    b = np.ones(A.shape[0])
+    for depth in (1, 3):
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=40, cycle="AMLI", residuals=res,
+                 amli_depth=depth)
+        assert res[-1] / res[0] < 1e-7, (depth, res[-1] / res[0])
+        dml = as_device_solver(ml, dtype=jnp.float64, row_pad=8)
+        res_d = []
+        dml.solve(b, tol=1e-8, maxiter=40, cycle="AMLI", residuals=res_d,
+                  amli_depth=depth)
+        assert res_d[-1] / res_d[0] < 1e-7, depth
