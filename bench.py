@@ -55,6 +55,48 @@ def _cycle_nnz(ml):
     return int(nnz)
 
 
+def _measure_rtt(jax, jnp):
+    """Relay/tunnel roundtrip latency for a trivial dispatch (reported so
+    per-call numbers can be judged against the environment's floor —
+    measured round 2: the axon tunnel RTT varies from <0.2 ms to ~25 ms
+    between sessions)."""
+    f = jax.jit(lambda v: v + 1.0)
+    x = jnp.zeros((8,), dtype=jnp.float32)
+    float(f(x)[0])
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(f(x)[0])      # D2H pull = the only reliable sync on axon
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _chained_time(jax, jnp, step, op, v0, k=128, repeats=3):
+    """Median per-step time of a k-long DEPENDENT on-device chain.
+
+    One dispatch roundtrip per k steps, so the measurement reflects chip
+    time, not tunnel RTT — the same amortization a real solve gets (the
+    whole Krylov loop is one program).  ``step`` is (op, v) -> v and
+    ``op`` (the operator/hierarchy pytree) flows as a JIT ARGUMENT —
+    closure-captured device arrays are re-uploaded per call on this
+    backend (CLAUDE.md rule 2)."""
+    from jax import lax
+
+    # NOTE: on the axon backend block_until_ready can return before
+    # execution finishes; a scalar D2H pull is the only reliable sync,
+    # so the chain returns a reduction and we time through float().
+    chain = jax.jit(
+        lambda o, v: jnp.sum(
+            lax.fori_loop(0, k, lambda i, u: step(o, u), v)))
+    float(chain(op, v0))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chain(op, v0))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / k
+
+
 def _timed_device_solve(dml, b, **kw):
     """Compile (untimed), then time one full device solve."""
     res = []
@@ -85,6 +127,7 @@ def main(grid=(2048, 2048), verbose=False):
 
     backend = jax.default_backend()
     detail = {"backend": backend, "chips": jax.device_count()}
+    _mixed = []   # (name, host_ml, b, solve_kwargs) queued for phase B
 
     # ================= config 1: 2D Poisson, SA + CG, Jacobi ============
     note("config1: building problem...")
@@ -105,13 +148,20 @@ def main(grid=(2048, 2048), verbose=False):
     b = jnp.asarray(np.random.default_rng(0).random(n_pad),
                     dtype=jnp.float32)
 
-    cyc = dml.cycle_operator("V")
-    t_cycle = _median_time(lambda: jax.block_until_ready(cyc(b)))
+    rtt = _measure_rtt(jax, jnp)
+    note(f"tunnel RTT: {rtt*1e3:.2f} ms")
+
+    from pyamg_tpu.engine.solver import _make_cycle
+    one_cycle = _make_cycle(len(dml.hierarchy.levels), "V")
+    h = dml.hierarchy
+    t_cycle = _chained_time(
+        jax, jnp, lambda o, v: one_cycle(o, jnp.zeros_like(v), v), h, b,
+        k=64)
     vcycle_nnz_s = cycle_nnz / t_cycle
 
     A_dev = dml.hierarchy.levels[0].A
-    spmv = jax.jit(lambda op, v: op @ v)
-    t_spmv = _median_time(lambda: jax.block_until_ready(spmv(A_dev, b)))
+    t_spmv = _chained_time(jax, jnp, lambda o, v: o @ v, A_dev, b,
+                           k=256)
     spmv_nnz_s = A.nnz / t_spmv
 
     # host (reference-substrate) V-cycle throughput
@@ -137,6 +187,15 @@ def main(grid=(2048, 2048), verbose=False):
     res_ds = []
     dsa.solve(np.asarray(b)[: A.shape[0]], tol=1e-5, maxiter=40,
               accel="cg", residuals=res_ds)
+    # V-cycle throughput of the device-built hierarchy (structured
+    # rolled P/R instead of the windowed one-hot kernel)
+    one_cycle_ds = _make_cycle(len(dsa.hierarchy.levels), "V")
+    h_ds = dsa.hierarchy
+    b_ds = jnp.asarray(np.random.default_rng(0).random(
+        dsa.hierarchy.levels[0].n_pad), dtype=jnp.float32)
+    t_cycle_ds = _chained_time(
+        jax, jnp, lambda o, v: one_cycle_ds(o, jnp.zeros_like(v), v),
+        h_ds, b_ds, k=64)
 
     detail["config1"] = {
         "problem": "2D 5-pt Poisson %dx%d, SA V-cycle + CG, Jacobi" % grid,
@@ -150,6 +209,11 @@ def main(grid=(2048, 2048), verbose=False):
         "setup_device_s": round(t_dev_setup, 3),
         "setup_speedup": round(t_host_setup / t_dev_setup, 1),
         "device_setup_cg_iters_to_1e-5": len(res_ds) - 1,
+        # same work-metric basis (host hierarchy's cycle_nnz) for a fair
+        # comparison of the two hierarchies' cycle times
+        "t_vcycle_device_setup_ms": round(t_cycle_ds * 1e3, 3),
+        "vcycle_device_setup_work_gnnz_s": round(
+            cycle_nnz / t_cycle_ds / 1e9, 4),
     }
 
     # ================= config 2: 3D Poisson 64^3, SA + sym GS, W ========
@@ -160,41 +224,37 @@ def main(grid=(2048, 2048), verbose=False):
         postsmoother=("gauss_seidel", {"sweep": "symmetric"}))
     dml2 = DeviceMultilevelSolver(compile_hierarchy(ml2, dtype=jnp.float32))
     b2 = np.random.default_rng(1).random(A2.shape[0])
-    cyc2 = dml2.cycle_operator("W")
+    one_cycle2 = _make_cycle(len(dml2.hierarchy.levels), "W")
+    h2 = dml2.hierarchy
     n2_pad = dml2.hierarchy.levels[0].n_pad
     b2p = jnp.asarray(np.pad(b2, (0, n2_pad - len(b2))), dtype=jnp.float32)
-    t_w = _median_time(lambda: jax.block_until_ready(cyc2(b2p)), repeats=5)
-    t2, res2, _ = _timed_device_solve(dml2, b2, tol=1e-6, maxiter=30,
-                                      cycle="W", accel=None)
+    t_w = _chained_time(
+        jax, jnp, lambda o, v: one_cycle2(o, jnp.zeros_like(v), v), h2,
+        b2p, k=16)
     detail["config2"] = {
         "problem": "3D 7-pt Poisson 64^3, SA + symmetric GS (multicolor), "
                    "W-cycle",
         "n": A2.shape[0], "nnz_finest": int(A2.nnz),
         "t_wcycle_ms": round(t_w * 1e3, 3),
         "wcycle_work_gnnz_s": round(_cycle_nnz(ml2) / t_w / 1e9, 4),
-        "t_solve_1e-6_s": round(t2, 3),
-        "iters": len(res2) - 1,
-        "conv_factor": round(_factor(res2) or 0, 4),
     }
+    _mixed.append(("config2", ml2, b2, dict(tol=1e-8, maxiter=30,
+                                            cycle="W", accel=None)))
 
     # ===== config 3: rotated anisotropic diffusion 512^2, RS + GMRES ====
     note("config3: RS setup...")
     S3 = diffusion_stencil_2d(epsilon=1e-3, theta=0.0, type="FD")
     A3 = stencil_grid(S3, (512, 512)).tocsr()
     ml3 = pyamg_tpu.ruge_stuben_solver(A3)
-    dml3 = DeviceMultilevelSolver(compile_hierarchy(ml3, dtype=jnp.float32))
     b3 = np.random.default_rng(2).random(A3.shape[0])
-    t3, res3, _ = _timed_device_solve(dml3, b3, tol=1e-6, maxiter=60,
-                                      accel="gmres")
     detail["config3"] = {
         "problem": "rotated anisotropic diffusion 512^2 (eps=1e-3), "
                    "classical RS + GMRES",
         "n": A3.shape[0], "nnz_finest": int(A3.nnz),
         "levels": len(ml3.levels),
-        "t_solve_1e-6_s": round(t3, 3),
-        "iters": len(res3) - 1,
-        "conv_factor": round(_factor(res3) or 0, 4),
     }
+    _mixed.append(("config3", ml3, b3, dict(tol=1e-8, maxiter=60,
+                                            accel="gmres")))
 
     # ========== config 4: 2D elasticity BSR bs=2, rootnode + CG =========
     note("config4: rootnode setup...")
@@ -202,18 +262,14 @@ def main(grid=(2048, 2048), verbose=False):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         ml4 = pyamg_tpu.rootnode_solver(A4, B=B4, strength="symmetric")
-    dml4 = DeviceMultilevelSolver(compile_hierarchy(ml4, dtype=jnp.float32))
     b4 = np.random.default_rng(3).random(A4.shape[0])
-    t4, res4, _ = _timed_device_solve(dml4, b4, tol=1e-6, maxiter=60,
-                                      accel="cg")
     detail["config4"] = {
         "problem": "2D linear elasticity 128^2 (BSR bs=2), rootnode SA "
-                   "+ CG",
+                   "+ CG (block-DIA device format)",
         "n": A4.shape[0], "nnz_finest": int(A4.nnz),
-        "t_solve_1e-6_s": round(t4, 3),
-        "iters": len(res4) - 1,
-        "conv_factor": round(_factor(res4) or 0, 4),
     }
+    _mixed.append(("config4", ml4, b4, dict(tol=1e-8, maxiter=60,
+                                            accel="cg")))
 
     # === config 5: recirc advection-diffusion 1024^2, NSR + BiCGStab ====
     note("config5: recirc 1024^2 setup (the big host setup)...")
@@ -223,15 +279,18 @@ def main(grid=(2048, 2048), verbose=False):
         A5, symmetry="nonsymmetric",
         smooth=("energy", {"krylov": "gmres", "maxiter": 3, "degree": 1}),
         strength="symmetric",
+        # nonsymmetric problems need NR candidate improvement — the
+        # default (symmetric block-GS on A z = 0) diverges on strong
+        # advection and the resulting hierarchy stalls at >=128^2
+        improve_candidates=(("gauss_seidel_nr",
+                             {"sweep": "symmetric", "iterations": 4}),
+                            None),
         presmoother=("gauss_seidel_nr", {"sweep": "symmetric",
                                          "iterations": 2}),
         postsmoother=("gauss_seidel_nr", {"sweep": "symmetric",
                                           "iterations": 2}))
     t5_setup = time.perf_counter() - t0
-    dml5 = DeviceMultilevelSolver(compile_hierarchy(ml5, dtype=jnp.float32))
     b5 = np.random.default_rng(4).random(A5.shape[0])
-    t5, res5, _ = _timed_device_solve(dml5, b5, tol=1e-6, maxiter=100,
-                                      accel="bicgstab")
     detail["config5"] = {
         "problem": "nonsym recirculating advection-diffusion 1024^2, "
                    "energy-min NSR SA + BiCGStab (single chip; "
@@ -240,12 +299,14 @@ def main(grid=(2048, 2048), verbose=False):
                    "test_baseline_configs.py::config5)",
         "n": A5.shape[0], "nnz_finest": int(A5.nnz),
         "setup_host_s": round(t5_setup, 1),
-        "t_solve_1e-6_s": round(t5, 3),
-        "iters": len(res5) - 1,
-        "conv_factor": round(_factor(res5) or 0, 4),
     }
+    _mixed.append(("config5", ml5, b5, dict(tol=1e-8, maxiter=100,
+                                            accel="bicgstab")))
 
     # ============ phase B: x64 mixed-precision time-to-1e-8 =============
+    # (f32 V-cycle preconditioner + f64 outer Krylov, fully on device —
+    # pure-f32 Krylov stagnates at the ~1e-6 f32 residual floor, so every
+    # config's 1e-8 number runs mixed)
     note("phase B: mixed-precision (enables x64)...")
     dml_mixed = DeviceMultilevelSolver(
         compile_hierarchy(ml, dtype=jnp.float32, mixed_precision=True))
@@ -258,6 +319,20 @@ def main(grid=(2048, 2048), verbose=False):
     detail["config1"]["final_relres"] = (
         float(res8[-1] / res8[0]) if res8 and res8[0] else None)
 
+    for name, mlx, bx, kw in _mixed:
+        note(f"phase B: {name} mixed solve...")
+        dmx = DeviceMultilevelSolver(
+            compile_hierarchy(mlx, dtype=jnp.float32,
+                              mixed_precision=True))
+        tX, resX, _ = _timed_device_solve(dmx, bx, precision="mixed",
+                                          **kw)
+        detail[name]["time_to_1e8_s"] = round(tX, 3)
+        detail[name]["iters_to_1e8"] = len(resX) - 1
+        detail[name]["conv_factor"] = round(_factor(resX) or 0, 4)
+        detail[name]["final_relres"] = (
+            float(resX[-1] / resX[0]) if resX and resX[0] else None)
+
+    detail["dispatch_rtt_ms"] = round(rtt * 1e3, 3)
     detail["scaling"] = {
         "chips": jax.device_count(),
         "note": "single-chip environment; multi-chip row partitioning "

@@ -41,7 +41,10 @@ def rho_D_inv_A(A):
         return cached
     dinv = get_diagonal(A, inv=True)
     Acsr = sp.csr_matrix(A)
-    DinvA = sp.csr_matrix(Acsr.multiply(dinv[:, None]))
+    # row scaling via in-place data multiply (scipy's broadcasting
+    # .multiply() walks a much slower generic path)
+    DinvA = Acsr.copy()
+    DinvA.data = DinvA.data * np.repeat(dinv, np.diff(DinvA.indptr))
     rho = approximate_spectral_radius(DinvA)
     try:
         A._rho_D_inv = rho

@@ -117,6 +117,14 @@ def _recount_indptr(keep, indptr, n):
 
 def _set_diagonal_to(S, value):
     S = S.tocsr()
+    n = S.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(S.indptr))
+    diag_mask = S.indices == rows
+    if np.count_nonzero(diag_mask) == n:
+        # every diagonal entry stored: set in place (the sparse-add
+        # fallback below costs two format conversions + a full SpAdd)
+        S.data[diag_mask] = value
+        return S
     d = S.diagonal()
     S = S + sp.dia_matrix(((value - d).reshape(1, -1), [0]), shape=S.shape)
     S = S.tocsr()
@@ -142,9 +150,16 @@ def symmetric_strength_of_connection(A, theta=0):
     A = sp.csr_matrix(A)
     n = A.shape[0]
     if theta == 0:
-        S = A.copy()
-        S.data = np.abs(S.data)
-        S = scale_rows_by_largest_entry(S)
+        # SA-default fast path: |A| row-scaled with unit diagonal, built
+        # in three passes over data with no intermediate matrices
+        indptr = A.indptr
+        data = np.abs(A.data)
+        rowmax = _row_reduce(data, indptr, n, np.maximum)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = np.where(rowmax != 0, 1.0 / rowmax, 0.0)
+        data *= np.repeat(scale, np.diff(indptr))
+        S = sp.csr_matrix((data, A.indices.copy(), indptr.copy()),
+                          shape=A.shape)
         return _set_diagonal_to(S, 1.0)
     d = np.abs(A.diagonal())
     rows = np.repeat(np.arange(n), np.diff(A.indptr))

@@ -145,13 +145,19 @@ def approximate_spectral_radius(
         V[0] = v0 / beta
         k_eff = m
         breakdown = False
+        converged_inner = False
         for j in range(m):
             w = Aop @ V[j]
             w = np.asarray(w).ravel().astype(dtype, copy=False)
-            # modified Gram-Schmidt
-            for i in range(j + 1):
-                H[i, j] = np.inner(V[i].conj(), w)
-                w -= H[i, j] * V[i]
+            # modified Gram-Schmidt (blocked inner products: one GEMV
+            # against the stored basis instead of j+1 numpy passes)
+            h = V[: j + 1].conj() @ w
+            H[: j + 1, j] = h
+            w -= h @ V[: j + 1]
+            # second MGS pass for the tail only (re-orthogonalization)
+            h2 = V[: j + 1].conj() @ w
+            H[: j + 1, j] += h2
+            w -= h2 @ V[: j + 1]
             hn = norm(w)
             H[j + 1, j] = hn
             if hn < 1e-12 * max(abs(H).max(), 1.0):
@@ -159,6 +165,20 @@ def approximate_spectral_radius(
                 breakdown = True
                 break
             V[j + 1] = w / hn
+            # in-loop Ritz convergence ([R] upstream checks the residual
+            # bound |h_{j+1,j} * y_m| each iteration): stop as soon as
+            # the dominant Ritz value is resolved — saves most SpMVs on
+            # the large fine levels
+            if j >= 2:
+                Hj = H[: j + 1, : j + 1]
+                evj, evecj = scipy.linalg.eig(Hj)
+                ij = int(np.argmax(np.abs(evj)))
+                resid = abs(hn * evecj[-1, ij])
+                rho_j = float(np.abs(evj[ij]))
+                if rho_j > 0 and resid <= tol * rho_j:
+                    k_eff = j + 1
+                    converged_inner = True
+                    break
         Hk = H[:k_eff, :k_eff]
         evals, evecs = scipy.linalg.eig(Hk)
         idx = int(np.argmax(np.abs(evals)))
@@ -168,7 +188,8 @@ def approximate_spectral_radius(
         v0 = np.ascontiguousarray(ritz_vec)
         if np.issubdtype(dtype, np.floating):
             v0 = np.real(v0).astype(dtype, copy=False)
-        if breakdown or (rho_old > 0 and abs(rho - rho_old) <= tol * rho):
+        if breakdown or converged_inner or (
+                rho_old > 0 and abs(rho - rho_old) <= tol * rho):
             break
         rho_old = rho
 

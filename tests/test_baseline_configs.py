@@ -107,6 +107,9 @@ def test_config5_recirc_nonsymmetric_bicgstab_partitioned():
         symmetry="nonsymmetric",
         smooth=("energy", {"krylov": "gmres", "maxiter": 3, "degree": 1}),
         strength="symmetric",
+        improve_candidates=(("gauss_seidel_nr",
+                             {"sweep": "symmetric", "iterations": 4}),
+                            None),
         presmoother=("gauss_seidel_nr", {"sweep": "symmetric",
                                          "iterations": 2}),
         postsmoother=("gauss_seidel_nr", {"sweep": "symmetric",

@@ -288,7 +288,7 @@ def test_solve_backend_device():
     ml.solve(b, tol=1e-8, maxiter=25, residuals=res_h)
     ml.solve(b, tol=1e-8, maxiter=25, residuals=res_d, backend="device")
     assert len(res_h) == len(res_d)
-    np.testing.assert_allclose(res_d, res_h, rtol=1e-9)
+    np.testing.assert_allclose(res_d, res_h, rtol=3e-8)
     # cached device hierarchy is reused
     dml1 = ml.to_device(dtype=jnp.float64)
     dml2 = ml.to_device(dtype=jnp.float64)
