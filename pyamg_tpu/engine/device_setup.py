@@ -224,15 +224,20 @@ def _compact_dia(A_emb: DIAMatrix, grid_p, stride, center) -> DIAMatrix:
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class StructuredProlongator:
-    """P: coarse padded-grid vector -> fine padded-grid vector.
+    """P = S_smooth · T, applied FACTORED: coarse padded-grid vector ->
+    fine padded-grid vector via
 
-    Stored as the embedded n×n DIAMatrix P_emb whose columns live on
-    aggregate centers; application = broadcast-embed + rolled SpMV.
-    The coarse side uses the *coarse level's padded grid* layout, so the
-    un-pad/pad between levels is fused into the transfer.
+        P @ xc  =  S @ ( tv * spread(embed(xc)) )
+
+    where tv is the per-point normalized tentative value and spread is
+    the stride^d-roll aggregate broadcast.  Costs ~1 DIA SpMV + stride^d
+    cheap rolls — vs (2*stride-1)^d full rolls for the materialized
+    embedded P (measured round 2: factored V-cycle ~3x faster).  The
+    coarse side uses the coarse level's padded grid layout.
     """
 
-    emb: DIAMatrix
+    S: DIAMatrix                     # smoothing operator (I - w D^-1 A)
+    tv: jnp.ndarray                  # (n_fine_pad,) tentative values
     fine_grid_p: Tuple[int, ...]     # static
     coarse_grid: Tuple[int, ...]     # = fine_grid_p // stride
     coarse_grid_p: Tuple[int, ...]   # next level's padded grid
@@ -240,19 +245,22 @@ class StructuredProlongator:
     center: int
 
     def tree_flatten(self):
-        return (self.emb,), (self.fine_grid_p, self.coarse_grid,
-                             self.coarse_grid_p, self.stride, self.center)
+        return (self.S, self.tv), (self.fine_grid_p, self.coarse_grid,
+                                   self.coarse_grid_p, self.stride,
+                                   self.center)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (emb,) = children
+        S, tv = children
         f, c, cp, s, ctr = aux
-        return cls(emb=emb, fine_grid_p=f, coarse_grid=c, coarse_grid_p=cp,
-                   stride=s, center=ctr)
+        return cls(S=S, tv=tv, fine_grid_p=f, coarse_grid=c,
+                   coarse_grid_p=cp, stride=s, center=ctr)
 
     @property
     def nnz(self):
-        return self.emb.nnz
+        # structural estimate: T contributes one entry per fine point,
+        # smoothing widens each column by the stencil
+        return int(np.prod(self.fine_grid_p)) * self.S.ndiags
 
     @property
     def shape(self):
@@ -261,16 +269,22 @@ class StructuredProlongator:
 
     def __matmul__(self, xc):
         xc = _grid_unpad_vec(xc, self.coarse_grid, self.coarse_grid_p)
-        e = _embed_coarse(xc, self.coarse_grid, self.stride, self.center)
-        return self.emb @ e
+        t = self.tv * _broadcast_coarse(xc, self.coarse_grid, self.stride,
+                                        self.center)
+        return self.S @ t
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class StructuredRestrictor:
-    """R = P^T: fine padded-grid vector -> coarse padded-grid vector."""
+    """R = P^T = T^T · S^T, applied factored:
 
-    emb: DIAMatrix                    # R_emb = transpose(P_emb)
+        R @ r  =  pad( block_sum( tv * (S^T @ r) ) )
+
+    block_sum is the per-aggregate reduce_window sum (T^T)."""
+
+    St: DIAMatrix                    # S^T
+    tv: jnp.ndarray
     fine_grid_p: Tuple[int, ...]
     coarse_grid: Tuple[int, ...]
     coarse_grid_p: Tuple[int, ...]
@@ -278,28 +292,33 @@ class StructuredRestrictor:
     center: int
 
     def tree_flatten(self):
-        return (self.emb,), (self.fine_grid_p, self.coarse_grid,
-                             self.coarse_grid_p, self.stride, self.center)
+        return (self.St, self.tv), (self.fine_grid_p, self.coarse_grid,
+                                    self.coarse_grid_p, self.stride,
+                                    self.center)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (emb,) = children
+        St, tv = children
         f, c, cp, s, ctr = aux
-        return cls(emb=emb, fine_grid_p=f, coarse_grid=c, coarse_grid_p=cp,
-                   stride=s, center=ctr)
+        return cls(St=St, tv=tv, fine_grid_p=f, coarse_grid=c,
+                   coarse_grid_p=cp, stride=s, center=ctr)
 
     @property
     def nnz(self):
-        return self.emb.nnz
+        return int(np.prod(self.fine_grid_p)) * self.St.ndiags
 
     @property
     def shape(self):
         return (int(np.prod(self.coarse_grid_p)),
                 int(np.prod(self.fine_grid_p)))
 
+    @property
+    def n_pad(self):
+        return int(np.prod(self.coarse_grid_p))
+
     def __matmul__(self, r):
-        y = self.emb @ r
-        yc = _compact_fine(y, self.coarse_grid, self.stride, self.center)
+        y = self.tv * (self.St @ r)
+        yc = _block_sum(y, self.coarse_grid, self.stride)
         return _grid_pad_vec(yc, self.coarse_grid, self.coarse_grid_p)
 
 
@@ -337,6 +356,16 @@ def _block_norms(B, coarse_grid, stride):
                           (stride,) * dim, (stride,) * dim,
                           "VALID")
     return jnp.sqrt(s).reshape(-1)
+
+
+def _block_sum(v, coarse_grid, stride):
+    """Per-aggregate sum of a fine padded-grid vector (reduce_window)."""
+    dim = len(coarse_grid)
+    fine_p = tuple(g * stride for g in coarse_grid)
+    s = lax.reduce_window(v.reshape(fine_p),
+                          jnp.zeros((), dtype=v.dtype), lax.add,
+                          (stride,) * dim, (stride,) * dim, "VALID")
+    return s.reshape(-1)
 
 
 def _broadcast_coarse(vc, coarse_grid, stride, center):
@@ -402,7 +431,7 @@ def _tentative_emb(B, grid_p, stride, center, dtype) -> Tuple[DIAMatrix,
         offsets=tuple(int(offsets[i]) for i in order),
         shape=(int(np.prod(grid_p)),) * 2,
         nnz=int(np.prod(grid_p)))
-    return T, norms
+    return T, norms, tv.astype(dtype)
 
 
 def _power_rho(A: DIAMatrix, dinv=None, iters=40):
@@ -533,7 +562,7 @@ def _setup_pipeline(A_in, *, plan, stride, omega, dtype, pre_key,
                            jnp.ones(A_p.n_pad, dtype=dtype), 0)
         else:
             Bv = _grid_pad_vec(B[: int(np.prod(grid))], grid, grid_p)
-        P_emb, R_emb, A_c, Bc, rho = _coarsen_level(
+        S_op, St_op, tv, A_c, Bc, rho = _coarsen_level(
             A_p, Bv, grid_p, stride, center, omega, dtype)
         diag = A_p.diagonal()
         dinv = jnp.where(diag != 0,
@@ -541,7 +570,7 @@ def _setup_pipeline(A_in, *, plan, stride, omega, dtype, pre_key,
         pre_arr = _smoother_device_arrays(pre_key, A_p, dinv, rho, dtype)
         post_arr = _smoother_device_arrays(post_key, A_p, dinv, rho,
                                            dtype)
-        out_levels.append((A_p, P_emb, R_emb, rho, pre_arr, post_arr))
+        out_levels.append((A_p, S_op, St_op, tv, rho, pre_arr, post_arr))
         cur = A_c
         B = Bc
     Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
@@ -583,7 +612,7 @@ def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
     """
     diag = A_p.diagonal()
     dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
-    T, Bc = _tentative_emb(B, grid_p, stride, center, dtype)
+    T, Bc, tv = _tentative_emb(B, grid_p, stride, center, dtype)
     rho = _power_rho(A_p, dinv)
     # S = I - (omega/rho) D^-1 A as a DIA (row-scaled A + identity bump)
     scale = -(omega / jnp.where(rho == 0, 1, rho))
@@ -600,6 +629,7 @@ def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
             offsets=A_p.offsets + (0,), shape=A_p.shape, nnz=A_p.nnz)
     P_emb = dia_spgemm(S, T)
     R_emb = dia_transpose(P_emb)
+    St = dia_transpose(S)
     AP = dia_spgemm(A_p, P_emb)
     # structural filter: only center-to-center offsets (every per-dim
     # delta ≡ 0 mod stride) survive compaction — enumerate candidates
@@ -616,7 +646,11 @@ def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
                 cand.add(oc)
     Ac_emb = _dia_spgemm_filtered(R_emb, AP, cand)
     A_c = _compact_dia(Ac_emb, grid_p, stride, center)
-    return P_emb, R_emb, A_c, Bc, rho
+    # solve phase stores the FACTORED transfer (S, S^T, tv) — applying
+    # P = S·T as smooth(spread(xc)) costs ~1 SpMV + stride^d rolls,
+    # vs ~(2·stride-1)^d rolls for the materialized embedded P (the
+    # embedded forms exist only transiently for the RAP above)
+    return S, St, tv, A_c, Bc, rho
 
 
 # ---------------------------------------------------------------------------
@@ -727,17 +761,17 @@ def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     # ---- assemble the DeviceHierarchy (host bookkeeping only) ---------
     dev_levels = []
     infos = []
-    for i, ((lv_grid, grid_p), (A_p, P_emb, R_emb, rho, pre_arr,
+    for i, ((lv_grid, grid_p), (A_p, S_op, St_op, tv, rho, pre_arr,
                                 post_arr)) in enumerate(zip(plan,
                                                             out_levels)):
         coarse_grid = tuple(g // stride for g in grid_p)
         coarse_grid_p = (_padded_grid(coarse_grid, stride)
                          if i + 1 < nlev else coarse_grid)
         P = StructuredProlongator(
-            emb=P_emb, fine_grid_p=grid_p, coarse_grid=coarse_grid,
+            S=S_op, tv=tv, fine_grid_p=grid_p, coarse_grid=coarse_grid,
             coarse_grid_p=coarse_grid_p, stride=stride, center=stride // 2)
         R = StructuredRestrictor(
-            emb=R_emb, fine_grid_p=grid_p, coarse_grid=coarse_grid,
+            St=St_op, tv=tv, fine_grid_p=grid_p, coarse_grid=coarse_grid,
             coarse_grid_p=coarse_grid_p, stride=stride, center=stride // 2)
         pre = _smoother_wrap(pre_key, pre_arr)
         post = _smoother_wrap(post_key, post_arr)
