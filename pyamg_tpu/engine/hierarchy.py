@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from ..graph import vertex_coloring
 from ..relaxation.chebyshev import chebyshev_polynomial_coefficients
 from ..relaxation.smoothing import rho_D_inv_A, rho_block_D_inv_A
-from ..sparse import pad_to, pad_vector, select_operator
+from ..sparse import (TransposedWindowed, WindowedELL, pad_to, pad_vector,
+                      select_operator, windowed_from_scipy)
+from ..sparse.dia import dense_from_scipy
 from ..util.linalg import approximate_spectral_radius
 from ..util.utils import get_block_diag
 from . import relaxation as device_relaxation
@@ -349,6 +351,45 @@ def _windowed_schwarz_blocks(Acsr, n_pad, w, s):
     return np.linalg.pinv(blocks)
 
 
+def _transfer_operator(M, dtype, row_pad):
+    """Device form of a prolongator (fine-rows transfer operator): dense
+    when small, else adaptive-block windowed (narrow fine-row windows)."""
+    if max(M.shape) <= 2048:
+        return dense_from_scipy(M, dtype=dtype, row_pad=row_pad)
+    W = windowed_from_scipy(M, dtype=dtype)
+    if W is not None:
+        return W
+    return select_operator(M, dtype=dtype, row_pad=row_pad)
+
+
+def _restriction_operator(R, P, P_dev, dtype, row_pad):
+    """Device form of a restriction operator (round 2).
+
+    Coarse-row operators have pathologically wide column windows (one
+    coarse row block spans many fine grid rows: measured w2=16384/H=256
+    vs the prolongator's w2=1024/H=16), so R is stored as windowed(R^T)
+    — P geometry — and applied backwards through the Pallas transpose
+    kernel.  When R == P^T exactly (symmetric SA/classical hierarchies),
+    P's device arrays are shared outright (half the uploads).
+    """
+    if max(R.shape) <= 2048:
+        return dense_from_scipy(R, dtype=dtype, row_pad=row_pad)
+    if (isinstance(P_dev, WindowedELL) and P_dev._can_transpose_pallas()
+            and P is not None and R.shape == P.shape[::-1]):
+        D = (R - sp.csr_matrix(P).T).tocsr()
+        scale = max(np.abs(R.data).max() if R.nnz else 0.0, 1e-300)
+        if D.nnz == 0 or np.abs(D.data).max() <= 1e-14 * scale:
+            return TransposedWindowed(P_dev)
+    Rt = sp.csr_matrix(R).T.tocsr()
+    Wt = windowed_from_scipy(Rt, dtype=dtype)
+    if Wt is not None and Wt._can_transpose_pallas():
+        return TransposedWindowed(Wt)
+    W = windowed_from_scipy(R, dtype=dtype)
+    if W is not None:
+        return W
+    return select_operator(R, dtype=dtype, row_pad=row_pad)
+
+
 def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
                       mixed_precision=False, dia_storage=None):
     """Convert a host MultilevelSolver into a DeviceHierarchy.
@@ -394,10 +435,9 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
         if A_dev is None:
             A_dev = _maybe_compress(select_operator(A, dtype=dtype,
                                                     row_pad=row_pad))
-        P_dev = select_operator(sp.csr_matrix(lvl.P), dtype=dtype,
-                                row_pad=row_pad)
-        R_dev = select_operator(sp.csr_matrix(lvl.R), dtype=dtype,
-                                row_pad=row_pad)
+        P_dev = _transfer_operator(sp.csr_matrix(lvl.P), dtype, row_pad)
+        R_dev = _restriction_operator(sp.csr_matrix(lvl.R), lvl.P, P_dev,
+                                      dtype, row_pad)
         pre = _compile_smoother(lvl, getattr(lvl, "presmoother_spec", None),
                                 dtype, n_pad)
         post = _compile_smoother(lvl, getattr(lvl, "postsmoother_spec", None),

@@ -175,6 +175,18 @@ def _fit_len(v, n):
     return jnp.pad(v, (0, n - v.shape[0]))
 
 
+def _jacobi_step(A, x, b, dinv, omega):
+    """One weighted-Jacobi sweep; uses the fused single-pass Pallas DIA
+    kernel on TPU (sparse/dia.py, measured ~2.8x the composed form)."""
+    from ..sparse.dia import DIAMatrix, dia_pallas_jacobi
+
+    if isinstance(A, DIAMatrix):
+        y = dia_pallas_jacobi(A, x, b, dinv, omega)
+        if y is not None:
+            return y
+    return x + omega * (dinv * (b - (A @ x)))
+
+
 def apply_smoother(config, arrays, A, x, b):
     kind = config[0]
 
@@ -185,7 +197,7 @@ def apply_smoother(config, arrays, A, x, b):
         _, omega, iterations = config
         (dinv,) = arrays
         for _ in range(iterations):
-            x = x + omega * (dinv * (b - (A @ x)))
+            x = _jacobi_step(A, x, b, dinv, omega)
         return x
 
     if kind == "richardson":
@@ -254,7 +266,7 @@ def apply_smoother(config, arrays, A, x, b):
         _, iterations = config
         dinv, omega = arrays
         for _ in range(iterations):
-            x = x + omega * (dinv * (b - (A @ x)))
+            x = _jacobi_step(A, x, b, dinv, omega)
         return x
 
     if kind == "richardson_dyn":

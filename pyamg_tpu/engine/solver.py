@@ -29,6 +29,17 @@ from .krylov import device_bicgstab, device_cg, device_fgmres
 __all__ = ["DeviceMultilevelSolver", "as_device_solver"]
 
 
+def _fitv(v, n):
+    """Slice/zero-pad to length n (transfer-operator row paddings — the
+    adaptive windowed block — may differ from the level's row padding;
+    sliced tail rows are structural-zero padding)."""
+    if v.shape[0] == n:
+        return v
+    if v.shape[0] > n:
+        return v[:n]
+    return jnp.pad(v, (0, n - v.shape[0]))
+
+
 def _make_cycle(nlev, cycle, amli_depth=2):
     """Build the trace-time cycle recursion (SURVEY.md §7 step 3).
     ``amli_depth`` = number of A_c-orthogonalized coarse corrections per
@@ -38,7 +49,7 @@ def _make_cycle(nlev, cycle, amli_depth=2):
         lvl = h.levels[i]
         x = lvl.pre(lvl.A, x, b)
         r = b - (lvl.A @ x)
-        rc = lvl.R @ r
+        rc = _fitv(lvl.R @ r, h.levels[i + 1].n_pad)
         if i == nlev - 2:
             xc = h.coarse_solve(rc)
         else:
@@ -79,7 +90,7 @@ def _make_cycle(nlev, cycle, amli_depth=2):
                     p_prev, Ap_prev = p, Ap
             else:
                 raise ValueError(f"unsupported device cycle {kind}")
-        x = x + (lvl.P @ xc)
+        x = x + _fitv(lvl.P @ xc, x.shape[0])
         x = lvl.post(lvl.A, x, b)
         return x
 

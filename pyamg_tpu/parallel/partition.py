@@ -62,9 +62,14 @@ def _shard_op(mesh, E, axis="x"):
         rows = NamedSharding(mesh, P(axis, None))
         return DenseOperator(data=jax.device_put(E.data, rows),
                              shape=E.shape, nnz=E.nnz)
-    from ..sparse import WindowedELL
+    from ..sparse import TransposedWindowed, WindowedELL
 
     ndev = mesh.devices.size
+    if isinstance(E, TransposedWindowed):
+        # restriction stored as windowed(R^T): shard the base operator's
+        # (fine-side) row blocks; the transpose apply reduces into the
+        # replicated coarse output
+        return TransposedWindowed(_shard_op(mesh, E.base, axis))
     if isinstance(E, WindowedELL):
         if E.data.shape[0] % ndev != 0:
             return E  # block count not divisible: leave replicated

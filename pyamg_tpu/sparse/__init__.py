@@ -3,7 +3,8 @@
 from .dia import (DenseOperator, DIAMatrix, dense_from_scipy,
                   dia_from_scipy, dia_from_stencil, dia_spgemm)
 from .block_dia import BlockDIAMatrix, block_dia_from_scipy
-from .window import WindowedELL, windowed_from_scipy
+from .window import (TransposedWindowed, WindowedELL,
+                     windowed_from_scipy)
 from .formats import (
     BlockELLMatrix,
     ELLMatrix,
@@ -37,7 +38,7 @@ def select_operator(A, dtype=None, row_pad=8, dense_threshold=2048,
                              max_diags=max_diags)
         if dia is not None:
             return dia
-    win = windowed_from_scipy(A, dtype=dtype, block=row_pad)
+    win = windowed_from_scipy(A, dtype=dtype)
     if win is not None:
         return win
     # last resort: gather ELL (fast path only off-TPU; on TPU an XLA

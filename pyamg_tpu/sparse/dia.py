@@ -30,6 +30,13 @@ import scipy.sparse as sp
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is optional at import time (CPU test runs)
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
 
 from .formats import pad_to
 
@@ -74,9 +81,23 @@ class DIAMatrix:
         return self.data.dtype
 
     def matvec(self, x):
-        y = self.data[0] * jnp.roll(x, -self.offsets[0])
+        B = _fused_block(self.data, self.offsets, x)
+        if B is not None:
+            return _dia_pallas_matvec(self.data, self.offsets, x, B)
+        # XLA fallback: static slices of one zero-padded buffer.  Measured
+        # (round 2, 4.2M 5-diag f32): 1.03 ms vs 1.16 ms for the
+        # roll (slice+concat) form — pads fuse better than concats.
+        # Exactly equal to the roll form: out-of-range DIA slots store
+        # zero, so wrap-around (roll) and zero-pad (slice) agree.
+        h = max(max(self.offsets), -min(self.offsets), 0)
+        xp = jnp.pad(x, (h, h))
+        n_pad = self.n_pad
+        y = self.data[0] * lax.slice_in_dim(
+            xp, h + self.offsets[0], h + self.offsets[0] + n_pad)
         for d in range(1, len(self.offsets)):
-            y = y + self.data[d] * jnp.roll(x, -self.offsets[d])
+            off = self.offsets[d]
+            y = y + self.data[d] * lax.slice_in_dim(
+                xp, h + off, h + off + n_pad)
         return y
 
     def matmat(self, X):
@@ -107,6 +128,147 @@ class DIAMatrix:
         if 0 in self.offsets:
             return self.data[self.offsets.index(0)]
         return jnp.zeros(self.n_pad, dtype=self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas DIA kernels (the TPU hot path; BASELINE.json:5 "CSR/BSR
+# kernel layer -> Pallas")
+# ---------------------------------------------------------------------------
+#
+# One HBM pass: stream B-element blocks of x (plus one halo block each
+# side) and all diagonals through VMEM; per diagonal the shifted read is
+# a static sublane slice plus (for off % 128 != 0) one lane roll and a
+# two-view select — no gathers, no roll temps.  Measured (round 2,
+# 2048^2 5-pt f32): 0.39 ms vs 1.16 ms rolled XLA = HBM speed of light
+# (~305 GB/s over data + x + y).  The fused Jacobi variant folds
+# x + omega*dinv*(b - A x) into the same pass (0.42 ms vs 1.18 ms).
+
+def _fused_block(data, offsets, x):
+    """Pick the Pallas block size B, or None -> XLA fallback."""
+    if pltpu is None or jax.default_backend() != "tpu":
+        return None
+    if x.ndim != 1:
+        return None
+    # Mosaic supports f32/bf16 vectors only — f64 (mixed-precision outer
+    # loop) and complex stay on the XLA slice path
+    ok = (jnp.float32, jnp.bfloat16)
+    if jnp.dtype(data.dtype) not in ok or jnp.dtype(x.dtype) not in ok:
+        return None
+    n_pad = data.shape[1]
+    if n_pad % 128 != 0 or x.shape[0] != n_pad or n_pad < 65536:
+        return None
+    nd = data.shape[0]
+    max_off = max(max(offsets), -min(offsets), 1)
+    min_R = 16 if jnp.bfloat16 in (data.dtype, x.dtype) else 8
+    for B in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
+        if (n_pad % B == 0 and B >= max_off and B >= 128 * min_R
+                and (nd + 6) * B * 4 <= 10 * 2**20
+                and n_pad // B <= 1024):
+            return B
+    return None
+
+
+def _dia_shifted(xcat, off, B, R, lane):
+    """Shifted view xcat_flat[B + off + i] for i in [0, B) as (R, 128)."""
+    q, r = divmod(B + off, 128)
+    if r == 0:
+        return xcat[q:q + R]
+    t = xcat[q:q + R + 1]
+    a = pltpu.roll(t, np.int32(128 - r), axis=1)  # i32: x64 would make i64
+    return jnp.where(lane < 128 - r, a[:R], a[1:R + 1])
+
+
+def _dia_pallas_matvec(data, offsets, x, B, interpret=False):
+    nd, n_pad = data.shape
+    nb = n_pad // B
+    R = B // 128
+    cdtype = jnp.promote_types(data.dtype, x.dtype)
+    x3 = jnp.pad(x.reshape(-1, 128), ((R, R), (0, 0)))
+    data3 = data.reshape(nd, n_pad // 128, 128)
+
+    def kernel(xm_ref, xc_ref, xp_ref, d_ref, y_ref):
+        xcat = jnp.concatenate(
+            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=0)  # (3R, 128)
+        lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        acc = jnp.zeros((R, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted(xcat, off, B, R, lane)
+            acc = acc + d_ref[d].astype(cdtype) * sh.astype(cdtype)
+        y_ref[...] = acc
+
+    z = np.int32(0)
+    one = np.int32(1)
+    two = np.int32(2)
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda b: (b, z)),
+            pl.BlockSpec((R, 128), lambda b: (b + one, z)),
+            pl.BlockSpec((R, 128), lambda b: (b + two, z)),
+            pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
+        ],
+        out_specs=pl.BlockSpec((R, 128), lambda b: (b, z)),
+        out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
+        interpret=interpret,
+    )(x3, x3, x3, data3)
+    return y.reshape(-1)
+
+
+def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,
+                      force_B=None):
+    """Fused weighted-Jacobi sweep x + omega*dinv*(b - A@x), or None when
+    the fused path doesn't apply (caller falls back to composed form).
+
+    ``omega`` may be a python float or a 0-d device array (jacobi_dyn).
+    """
+    B = force_B if force_B is not None else _fused_block(A.data, A.offsets, x)
+    if B is None or b.shape != x.shape or dinv.shape != x.shape:
+        return None
+    data, offsets = A.data, A.offsets
+    nd, n_pad = data.shape
+    nb = n_pad // B
+    R = B // 128
+    cdtype = jnp.promote_types(data.dtype, x.dtype)
+    x3 = jnp.pad(x.reshape(-1, 128), ((R, R), (0, 0)))
+    data3 = data.reshape(nd, n_pad // 128, 128)
+    b2 = b.reshape(-1, 128)
+    di2 = dinv.reshape(-1, 128)
+    om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
+
+    def kernel(om_ref, xm_ref, xc_ref, xp_ref, d_ref, b_ref, di_ref, y_ref):
+        xcat = jnp.concatenate(
+            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=0)
+        lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        acc = jnp.zeros((R, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted(xcat, off, B, R, lane)
+            acc = acc + d_ref[d].astype(cdtype) * sh.astype(cdtype)
+        xc = xcat[R:2 * R].astype(cdtype)
+        y_ref[...] = xc + om_ref[0, 0] * (
+            di_ref[...].astype(cdtype) * (b_ref[...].astype(cdtype) - acc))
+
+    z = np.int32(0)
+    one = np.int32(1)
+    two = np.int32(2)
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (z, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, 128), lambda b: (b, z)),
+            pl.BlockSpec((R, 128), lambda b: (b + one, z)),
+            pl.BlockSpec((R, 128), lambda b: (b + two, z)),
+            pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
+            pl.BlockSpec((R, 128), lambda b: (b, z)),
+            pl.BlockSpec((R, 128), lambda b: (b, z)),
+        ],
+        out_specs=pl.BlockSpec((R, 128), lambda b: (b, z)),
+        out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
+        interpret=interpret,
+    )(om, x3, x3, x3, data3, b2, di2)
+    return y.reshape(-1)
 
 
 def dia_from_scipy(A, dtype=jnp.float32, row_pad=8, max_diags=None):

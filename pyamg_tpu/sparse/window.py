@@ -44,7 +44,7 @@ except ImportError:  # pragma: no cover
 
 from .formats import pad_to
 
-__all__ = ["WindowedELL", "windowed_from_scipy"]
+__all__ = ["WindowedELL", "TransposedWindowed", "windowed_from_scipy"]
 
 _LANES = 128
 
@@ -103,6 +103,10 @@ class WindowedELL:
             return self._matvec_pallas(x)
         return self._matvec_reference(x)
 
+    def _can_transpose_pallas(self):
+        return (self.block % 128 == 0 and self.w2 % 1024 == 0
+                and self.m_chunks * self.w2 * 4 <= 6 * 2**20)
+
     def _matvec_reference(self, x):
         """Gather-based fallback (CPU tests; NEVER traced on TPU)."""
         x = self._x_padded(x)
@@ -111,7 +115,13 @@ class WindowedELL:
         vals = jnp.take(x, gidx, axis=0)
         return jnp.sum(self.data * vals, axis=1).reshape(-1)
 
-    def _matvec_pallas(self, x):
+    def _matvec_pallas(self, x, interpret=False):
+        """Forward one-hot SpMV, v2 (round 2): the LANE selection runs on
+        the MXU (contraction dim = 128, full systolic utilization) and the
+        cheap CHUNK selection (H values) on the VPU — v1 had the stages
+        the other way around, contracting over H=16 at ~12% MXU
+        utilization.  Measured (1M-row SA prolongator, k=4): 1.75 ms vs
+        5.0 ms for v1."""
         x = self._x_padded(x)
         n_blocks, k, BLOCK = self.data.shape
         H2 = self.w2 // _LANES           # chunks per half-window
@@ -127,26 +137,22 @@ class WindowedELL:
                    y_ref):
             xw = jnp.concatenate([xa_ref[...], xb_ref[...]],
                                  axis=0).astype(cdtype)               # (H,128)
-            xwT = xw.T                                                # (128, H)
-            chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
             lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
-
-            def body(s, acc):
-                hi_s = hi_ref[0, pl.ds(s, 1), :]       # (1, BLOCK)
-                lo_s = lo_ref[0, pl.ds(s, 1), :]
-                dat_s = data_ref[0, pl.ds(s, 1), :]
-                # stage 1 (MXU): one-hot chunk selection; HIGHEST precision
-                # because the MXU's default bf16 passes would round x
-                OH = (chunk_iota == hi_s).astype(cdtype)           # (H, BLOCK)
-                C = jnp.dot(xwT, OH, preferred_element_type=cdtype,
-                            precision=lax.Precision.HIGHEST)       # (128,BLOCK)
-                # stage 2 (VPU): one-hot lane selection
-                v = jnp.sum(jnp.where(lane_iota == lo_s, C, 0), axis=0,
-                            keepdims=True)                          # (1, BLOCK)
-                return acc + v * dat_s.astype(cdtype)
-
-            acc = lax.fori_loop(0, k, body,
-                                jnp.zeros((1, BLOCK), dtype=cdtype))
+            chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
+            acc = jnp.zeros((1, BLOCK), dtype=cdtype)
+            for s in range(k):                      # static unroll
+                hi_s = hi_ref[0, s:s + 1, :]        # (1, BLOCK)
+                lo_s = lo_ref[0, s:s + 1, :]
+                # stage 1 (MXU): one-hot lane selection, contraction=128;
+                # HIGHEST precision because the MXU's default bf16 passes
+                # would round x (one-hot selection is exact under HIGHEST)
+                OHl = (lane_iota == lo_s).astype(cdtype)        # (128,BLOCK)
+                C = jnp.dot(xw, OHl, preferred_element_type=cdtype,
+                            precision=lax.Precision.HIGHEST)    # (H, BLOCK)
+                # stage 2 (VPU): one-hot chunk selection over H values
+                v = jnp.sum(jnp.where(chunk_iota == hi_s, C, 0), axis=0,
+                            keepdims=True)                      # (1, BLOCK)
+                acc = acc + v * data_ref[0, s:s + 1, :].astype(cdtype)
             y_ref[0] = acc.astype(dtype)
 
         # NOTE: literal zeros must be int32 — under jax_enable_x64 python
@@ -169,15 +175,92 @@ class WindowedELL:
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), dtype),
+            interpret=interpret,
         )(self.starts, self.data, self.hi, self.lo, x2, x2)
         return y.reshape(-1)
 
-    def rmatvec(self, x):
-        """A.T @ x via scatter-add.
+    def _rmatvec_pallas(self, r, interpret=False):
+        """True transpose apply A.T @ r as a Pallas kernel (round 2).
 
-        CPU-grade fallback (an XLA scatter — off the TPU hot path, like
-        _matvec_reference); exists so NE/NR smoothers stay traceable when
-        a level operator is windowed rather than DIA/dense."""
+        Grid over the ROW blocks (the forward geometry, small windows);
+        the full transposed output vector lives in VMEM for the whole
+        grid (revisited output block), each step accumulating its
+        window's contribution at a dynamic sublane offset:
+
+            out[start*H2 : start*H2+H] += sum_s Amat_s @ Bmat_s^T,
+            Amat_s[h, e] = 1[hi=h] * data * r,  Bmat_s[l, e] = 1[lo=l]
+
+        contracting over the BLOCK dim (2048 — full MXU utilization,
+        no transposes: dot_general over the shared last dim).  This lets
+        restriction operators run with the PROLONGATOR's geometry
+        (windowed(R^T) applied backwards) instead of their own
+        huge-window one (a coarse row block spans many fine grid rows:
+        measured w2=16384, H=256 -> 6 ms at 175k rows vs ~1.8 ms this
+        way).  Gate: transposed output must fit VMEM
+        (_can_transpose_pallas)."""
+        n_blocks, k, BLOCK = self.data.shape
+        H2 = self.w2 // _LANES
+        H = 2 * H2
+        out_chunks = self.m_chunks * H2
+        dtype = self.data.dtype
+        cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+        r3 = r[: self.n_pad].reshape(n_blocks, 1, BLOCK)
+
+        def kernel(starts_ref, data_ref, hi_ref, lo_ref, r_ref, y_ref):
+            b = pl.program_id(0)
+
+            @pl.when(b == 0)
+            def _init():
+                y_ref[...] = jnp.zeros_like(y_ref)
+
+            rb = r_ref[0].astype(cdtype)                    # (1, BLOCK)
+            lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
+            chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
+            acc = jnp.zeros((H, _LANES), dtype=cdtype)
+            for s in range(k):
+                hi_s = hi_ref[0, s:s + 1, :]
+                lo_s = lo_ref[0, s:s + 1, :]
+                w = data_ref[0, s:s + 1, :].astype(cdtype) * rb  # (1, BLOCK)
+                Amat = jnp.where(chunk_iota == hi_s, w, 0)       # (H, BLOCK)
+                Bmat = (lane_iota == lo_s).astype(cdtype)        # (128,BLOCK)
+                acc = acc + lax.dot_general(
+                    Amat, Bmat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=cdtype,
+                    precision=lax.Precision.HIGHEST)             # (H, 128)
+            start = starts_ref[b]
+            sl = pl.ds(start * H2, H)
+            y_ref[sl, :] = y_ref[sl, :] + acc.astype(dtype)
+
+        z = np.int32(0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((1, 1, BLOCK), lambda b, s: (b, z, z)),
+            ],
+            out_specs=pl.BlockSpec((out_chunks, _LANES),
+                                   lambda b, s: (z, z)),
+        )
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_chunks, _LANES), dtype),
+            interpret=interpret,
+        )(self.starts, self.data, self.hi, self.lo, r3)
+        return y.reshape(-1)
+
+    def rmatvec(self, x):
+        """A.T @ x: Pallas transpose kernel on TPU, scatter-add fallback
+        elsewhere (CPU tests / VMEM-oversized outputs)."""
+        if (jax.default_backend() == "tpu" and pltpu is not None
+                and self._can_transpose_pallas()):
+            return self._rmatvec_pallas(x)
+        return self._rmatvec_reference(x)
+
+    def _rmatvec_reference(self, x):
         gidx = (self.starts[:, None, None] * self.w2
                 + self.hi * _LANES + self.lo)          # (n_blocks, k, BLOCK)
         xb = x[: self.n_pad].reshape(self.data.shape[0], 1, self.block)
@@ -206,58 +289,150 @@ class WindowedELL:
         return jnp.sum(jnp.where(gidx == rows, self.data, 0), axis=1).reshape(-1)
 
 
-def windowed_from_scipy(A, dtype=jnp.float32, block=256, max_w2=16384):
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class TransposedWindowed:
+    """Lazy transpose of a WindowedELL: ``matvec`` is the base operator's
+    transpose apply.
+
+    The device form of restriction operators (round 2): R is stored as
+    windowed(R^T) — a fine-rows x coarse-cols operator with the
+    PROLONGATOR's narrow windows — and applied backwards through the
+    Pallas transpose kernel.  When R == P^T exactly (symmetric SA /
+    classical), the wrapper shares P's arrays outright (half the device
+    uploads).  Reference counterpart: scipy ``P.T @ r`` inside
+    MultilevelSolver.__solve (SURVEY.md §2.1)."""
+
+    base: WindowedELL
+
+    def tree_flatten(self):
+        return (self.base,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (base,) = children
+        return cls(base=children[0])
+
+    @property
+    def shape(self):
+        return (self.base.shape[1], self.base.shape[0])
+
+    @property
+    def nnz(self):
+        return self.base.nnz
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def n_pad(self):
+        return self.base.m_chunks * self.base.w2
+
+    def matvec(self, x):
+        need = self.base.n_pad
+        if x.shape[0] < need:
+            x = jnp.pad(x, (0, need - x.shape[0]))
+        elif x.shape[0] > need:
+            x = x[:need]
+        return self.base.rmatvec(x)
+
+    def rmatvec(self, x):
+        return self.base.matvec(x)
+
+    def matmat(self, X):
+        cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)
+
+    def __matmul__(self, x):
+        if x.ndim != 1:
+            return self.matmat(x)
+        return self.matvec(x)
+
+
+def windowed_from_scipy(A, dtype=jnp.float32, block=None, max_w2=16384):
     """Build a WindowedELL from a scipy sparse matrix.
+
+    ``block=None`` picks the row-block size adaptively: largest of
+    (2048, 1024, 512, 256) that keeps the window at the Mosaic minimum
+    (w2=1024), else the candidate minimizing the measured kernel cost
+    model (grid-step overhead + one-hot MXU work ~ k*n*H).
 
     Returns None when some row block's column span exceeds ``max_w2``
     (operator not windowable under the current ordering — caller should
     reorder or fall back).
     """
+    candidates = (2048, 1024, 512, 256) if block is None else (int(block),)
     A = sp.csr_matrix(A)
     A.sort_indices()
     n, m = A.shape
-    n_pad = pad_to(max(n, 1), block)
-    n_blocks = n_pad // block
+    n_pad_max = pad_to(max(n, 1), max(candidates))
     lens = np.diff(A.indptr)
     k = max(int(lens.max()) if n else 0, 1)
 
-    # dense padded (row, slot) -> col/val
+    # dense padded (row, slot) -> col/val — staged ONCE at the largest
+    # candidate padding (empty padding rows never affect window spans)
     rows = np.repeat(np.arange(n), lens)
     slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], lens)
-    cols = np.zeros((n_pad, k), dtype=np.int64)
+    cols = np.zeros((n_pad_max, k), dtype=np.int64)
     host_dt = (np.complex128 if jnp.issubdtype(jnp.dtype(dtype),
                                                jnp.complexfloating)
                else np.float64)
-    vals = np.zeros((n_pad, k), dtype=host_dt)
-    has = np.zeros((n_pad, k), dtype=bool)
+    vals = np.zeros((n_pad_max, k), dtype=host_dt)
+    has = np.zeros((n_pad_max, k), dtype=bool)
     if A.nnz:
         cols[rows, slots] = A.indices
         vals[rows, slots] = A.data
         has[rows, slots] = True
 
-    cols_b = cols.reshape(n_blocks, block, k)
-    has_b = has.reshape(n_blocks, block, k)
-    # per-block min/max over present entries
-    big = np.where(has_b, cols_b, np.iinfo(np.int64).max)
-    small = np.where(has_b, cols_b, -1)
-    mins = big.reshape(n_blocks, -1).min(axis=1)
-    maxs = small.reshape(n_blocks, -1).max(axis=1)
-    empty = maxs < 0
-    mins[empty] = 0
-    maxs[empty] = 0
+    # per-group min/max at the finest candidate granularity; larger
+    # blocks reduce over these groups (no re-staging per candidate)
+    GR = min(candidates)
+    g = n_pad_max // GR
+    g_min = np.where(has, cols, np.iinfo(np.int64).max).reshape(
+        g, -1).min(axis=1)
+    g_max = np.where(has, cols, -1).reshape(g, -1).max(axis=1)
 
-    # W2 must satisfy: for each block, span fits within 2*W2 when the
-    # window starts at floor(min/W2)*W2.  Minimum 1024 = 8 sublanes of
-    # 128 lanes (Mosaic tile constraint for the streamed window blocks).
-    w2 = 1024
-    while True:
-        starts = mins // w2
-        ok = (maxs < (starts + 2) * w2).all()
-        if ok:
-            break
-        w2 *= 2
-        if w2 > max_w2:
-            return None
+    # pick (block, w2): largest block whose window stays at the Mosaic
+    # minimum w2=1024, else minimize measured kernel cost (round-2 fit:
+    # ~1.5 us grid-step overhead + ~15 ps per one-hot unit k*n_pad*H)
+    best = None
+    best_cost = None
+    for blk in candidates:
+        n_pad_c = pad_to(max(n, 1), blk)
+        nb = n_pad_c // blk
+        q = blk // GR
+        gm = g_min[: n_pad_c // GR].reshape(nb, q).min(axis=1)
+        gM = g_max[: n_pad_c // GR].reshape(nb, q).max(axis=1)
+        empty = gM < 0
+        gm[empty] = 0
+        gM[empty] = 0
+        # W2 must satisfy: for each block, span fits within 2*W2 when the
+        # window starts at floor(min/W2)*W2.  Minimum 1024 = 8 sublanes
+        # of 128 lanes (Mosaic tile constraint for the window blocks).
+        w2_c = 1024
+        while True:
+            if (gM < (gm // w2_c + 2) * w2_c).all():
+                break
+            w2_c *= 2
+            if w2_c > max_w2:
+                w2_c = None
+                break
+        if w2_c is None:
+            continue
+        cost = nb * 1.5e-6 + k * n_pad_c * (2 * w2_c // _LANES) * 15e-12
+        if best_cost is None or cost < best_cost:
+            best = (blk, w2_c, n_pad_c, nb, gm)
+            best_cost = cost
+        if w2_c == 1024:
+            break       # candidates descend: biggest minimal-window block
+    if best is None:
+        return None
+    block, w2, n_pad, n_blocks, mins = best
+    cols = cols[:n_pad]
+    vals = vals[:n_pad]
+    has = has[:n_pad]
+    starts = mins // w2
 
     m_chunks = pad_to(max(m, 1), w2) // w2
     # starts+1 must be addressable

