@@ -78,6 +78,15 @@ def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
         P = P - omega_eff * sp.csr_matrix(DinvS @ P)
         P = sp.csr_matrix(P)
     P.eliminate_zeros()
+    if not filter_entries:
+        # P applies EXACTLY as S_sm^degree @ T with S_sm = I - w*DinvS.
+        # Record the factorization for the device compiler: applying the
+        # factors (square A-pattern DIA + one-hot tentative spread) is
+        # far cheaper on TPU than applying the fused P (engine/
+        # hierarchy.py::_factored_transfer).
+        S_sm = (sp.identity(S.shape[0], dtype=P.dtype, format="csr")
+                - omega_eff * DinvS).tocsr()
+        P._sa_factor = (S_sm, sp.csr_matrix(T), int(degree))
     return P
 
 
@@ -94,6 +103,9 @@ def richardson_prolongation_smoother(S, T, omega=4.0 / 3.0, degree=1):
         P = P - w * sp.csr_matrix(S @ P)
         P = sp.csr_matrix(P)
     P.eliminate_zeros()
+    S_sm = (sp.identity(S.shape[0], dtype=P.dtype, format="csr")
+            - w * S).tocsr()
+    P._sa_factor = (S_sm, sp.csr_matrix(T), int(degree))
     return P
 
 

@@ -351,18 +351,60 @@ def _windowed_schwarz_blocks(Acsr, n_pad, w, s):
     return np.linalg.pinv(blocks)
 
 
-def _transfer_operator(M, dtype, row_pad):
+def _factored_transfer(M, fac, dtype, row_pad):
+    """Compile P = S^degree @ T from the factorization the host smoother
+    recorded (aggregation/smooth.py).  `degree` DIA applies + one k~1
+    windowed spread beat the fused k~6 windowed P by ~4x at 4.2M rows.
+    Returns None when the factors don't map to cheap device forms
+    (S not DIA-able, T not windowable, complex dtype)."""
+    if fac is None:
+        return None
+    S, T, degree = fac
+    if degree < 1 or degree > 3:
+        return None
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return None  # transpose sharing below would need conj handling
+    from ..sparse import DIAMatrix, dia_from_scipy
+    from ..sparse.composed import ComposedOperator
+
+    S_dev = dia_from_scipy(sp.csr_matrix(S), dtype=dtype, row_pad=row_pad)
+    if S_dev is None:
+        return None
+    T_dev = windowed_from_scipy(sp.csr_matrix(T), dtype=dtype)
+    if T_dev is None:
+        return None
+    return ComposedOperator(ops=(S_dev,) * degree + (T_dev,),
+                            shape=M.shape, nnz=int(M.nnz))
+
+
+def _transfer_operator(M, dtype, row_pad, fac=None):
     """Device form of a prolongator (fine-rows transfer operator): dense
-    when small, else adaptive-block windowed (narrow fine-row windows)."""
+    when small, else factored S^d·T when the host smoother recorded the
+    factorization, else adaptive-block windowed (narrow fine-row
+    windows)."""
     if max(M.shape) <= 2048:
         return dense_from_scipy(M, dtype=dtype, row_pad=row_pad)
+    F = _factored_transfer(M, fac, dtype, row_pad)
+    if F is not None:
+        return F
     W = windowed_from_scipy(M, dtype=dtype)
     if W is not None:
         return W
     return select_operator(M, dtype=dtype, row_pad=row_pad)
 
 
-def _restriction_operator(R, P, P_dev, dtype, row_pad):
+def _is_transpose_of(R, P):
+    """R == P^T to rounding, cheaply.  Deliberately the PLAIN transpose:
+    the shared-array device forms (TransposedWindowed, reversed factored
+    ops) apply A^T, so a complex-hermitian R = P^H must NOT match."""
+    if P is None or R.shape != sp.csr_matrix(P).shape[::-1]:
+        return False
+    D = (R - sp.csr_matrix(P).T).tocsr()
+    scale = max(np.abs(R.data).max() if R.nnz else 0.0, 1e-300)
+    return D.nnz == 0 or np.abs(D.data).max() <= 1e-14 * scale
+
+
+def _restriction_operator(R, P, P_dev, dtype, row_pad, fac=None):
     """Device form of a restriction operator (round 2).
 
     Coarse-row operators have pathologically wide column windows (one
@@ -374,12 +416,25 @@ def _restriction_operator(R, P, P_dev, dtype, row_pad):
     """
     if max(R.shape) <= 2048:
         return dense_from_scipy(R, dtype=dtype, row_pad=row_pad)
+    from ..sparse.composed import ComposedOperator
+
+    if isinstance(P_dev, ComposedOperator) and _is_transpose_of(R, P):
+        # R = (S^d T)^T = T^T S^(T,d): share T's device arrays through the
+        # transpose kernel; S^T is its own cheap DIA conversion
+        S, _, degree = fac
+        from ..sparse import dia_from_scipy
+
+        T_dev = P_dev.ops[-1]
+        St_dev = dia_from_scipy(sp.csr_matrix(S).T.tocsr(), dtype=dtype,
+                                row_pad=row_pad)
+        if (St_dev is not None and isinstance(T_dev, WindowedELL)
+                and T_dev._can_transpose_pallas()):
+            return ComposedOperator(
+                ops=(TransposedWindowed(T_dev),) + (St_dev,) * degree,
+                shape=R.shape, nnz=int(R.nnz))
     if (isinstance(P_dev, WindowedELL) and P_dev._can_transpose_pallas()
-            and P is not None and R.shape == P.shape[::-1]):
-        D = (R - sp.csr_matrix(P).T).tocsr()
-        scale = max(np.abs(R.data).max() if R.nnz else 0.0, 1e-300)
-        if D.nnz == 0 or np.abs(D.data).max() <= 1e-14 * scale:
-            return TransposedWindowed(P_dev)
+            and _is_transpose_of(R, P)):
+        return TransposedWindowed(P_dev)
     Rt = sp.csr_matrix(R).T.tocsr()
     Wt = windowed_from_scipy(Rt, dtype=dtype)
     if Wt is not None and Wt._can_transpose_pallas():
@@ -435,9 +490,11 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
         if A_dev is None:
             A_dev = _maybe_compress(select_operator(A, dtype=dtype,
                                                     row_pad=row_pad))
-        P_dev = _transfer_operator(sp.csr_matrix(lvl.P), dtype, row_pad)
+        fac = getattr(lvl.P, "_sa_factor", None)
+        P_dev = _transfer_operator(sp.csr_matrix(lvl.P), dtype, row_pad,
+                                   fac=fac)
         R_dev = _restriction_operator(sp.csr_matrix(lvl.R), lvl.P, P_dev,
-                                      dtype, row_pad)
+                                      dtype, row_pad, fac=fac)
         pre = _compile_smoother(lvl, getattr(lvl, "presmoother_spec", None),
                                 dtype, n_pad)
         post = _compile_smoother(lvl, getattr(lvl, "postsmoother_spec", None),

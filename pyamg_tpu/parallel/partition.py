@@ -63,8 +63,15 @@ def _shard_op(mesh, E, axis="x"):
         return DenseOperator(data=jax.device_put(E.data, rows),
                              shape=E.shape, nnz=E.nnz)
     from ..sparse import TransposedWindowed, WindowedELL
+    from ..sparse.composed import ComposedOperator
 
     ndev = mesh.devices.size
+    if isinstance(E, ComposedOperator):
+        # factored transfer: shard each factor independently (DIA factors
+        # shard by diagonal columns, windowed factors by row block)
+        return ComposedOperator(
+            ops=tuple(_shard_op(mesh, op, axis) for op in E.ops),
+            shape=E.shape, nnz=E.nnz)
     if isinstance(E, TransposedWindowed):
         # restriction stored as windowed(R^T): shard the base operator's
         # (fine-side) row blocks; the transpose apply reduces into the

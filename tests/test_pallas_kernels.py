@@ -90,11 +90,13 @@ def test_windowed_transpose_interpret():
 
 
 def test_restriction_shares_prolongator():
-    """compile_hierarchy stores R as TransposedWindowed sharing P's
-    arrays when R == P^T (symmetric SA), and the device solve matches the
-    host solve history."""
+    """compile_hierarchy compiles large SA transfers to the FACTORED form
+    (ComposedOperator: DIA smoothing factor + k=1 windowed tentative),
+    with R sharing P's tentative arrays through the transpose kernel, and
+    the device solve matches the host solve history."""
     import pyamg_tpu
     from pyamg_tpu.engine import DeviceMultilevelSolver, compile_hierarchy
+    from pyamg_tpu.sparse.composed import ComposedOperator
 
     A = poisson((48, 48), format="csr")
     ml = pyamg_tpu.smoothed_aggregation_solver(
@@ -102,15 +104,14 @@ def test_restriction_shares_prolongator():
         postsmoother=("jacobi", {"omega": 4.0 / 3.0}),
         max_coarse=100)
     h = compile_hierarchy(ml, dtype=jnp.float64, row_pad=8)
-    shared = [
-        lvl for lvl in h.levels[:-1]
-        if isinstance(lvl.R, TransposedWindowed) and lvl.R.base is lvl.P
-    ]
-    # every large level's restriction must share the prolongator arrays
+    big = [lvl for lvl in h.levels[:-1] if max(lvl.R.shape) > 2048]
+    # every large level's transfers are factored, R sharing P's tentative
+    assert all(isinstance(lvl.P, ComposedOperator)
+               and isinstance(lvl.R, ComposedOperator) for lvl in big)
     assert all(
-        isinstance(lvl.R, TransposedWindowed)
-        for lvl in h.levels[:-1] if max(lvl.R.shape) > 2048)
-    assert shared or all(max(l.A.shape[0], 1) <= 2048 for l in h.levels)
+        isinstance(lvl.R.ops[0], TransposedWindowed)
+        and lvl.R.ops[0].base is lvl.P.ops[-1] for lvl in big)
+    assert big or all(max(l.A.shape[0], 1) <= 2048 for l in h.levels)
 
     dml = DeviceMultilevelSolver(h)
     b = np.random.default_rng(6).random(A.shape[0])
@@ -119,6 +120,37 @@ def test_restriction_shares_prolongator():
     ml.solve(b, tol=1e-10, maxiter=25, accel="cg", residuals=res_h)
     assert len(res_d) == len(res_h)
     np.testing.assert_allclose(res_d, res_h, rtol=1e-8)
+
+
+def test_factored_transfer_parity():
+    """Factored device P/R (S^d·T composed ops) == scipy P/R applies to
+    f64 rounding, for degree 1 and 2 jacobi prolongation smoothing."""
+    import pyamg_tpu
+    from pyamg_tpu.engine import compile_hierarchy
+    from pyamg_tpu.sparse.composed import ComposedOperator
+
+    A = poisson((96, 96), format="csr")
+    for degree in (1, 2):
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, smooth=("jacobi", {"degree": degree}), max_levels=2)
+        Ph = ml.levels[0].P
+        assert hasattr(Ph, "_sa_factor")
+        S, T, deg = Ph._sa_factor
+        assert deg == degree
+        err = abs((S @ (S @ T) if degree == 2 else S @ T) - Ph).max()
+        assert err < 1e-14
+        h = compile_hierarchy(ml, dtype=jnp.float64, row_pad=8)
+        l0 = h.levels[0]
+        assert isinstance(l0.P, ComposedOperator)
+        assert len(l0.P.ops) == degree + 1
+        xc = np.random.default_rng(10).random(Ph.shape[1])
+        got = np.asarray(l0.P @ jnp.asarray(xc))[: Ph.shape[0]]
+        np.testing.assert_allclose(got, Ph @ xc, rtol=1e-13, atol=1e-13)
+        r = np.random.default_rng(11).random(Ph.shape[0])
+        got_r = np.asarray(l0.R @ pad_vector(jnp.asarray(r),
+                                             l0.n_pad))[: Ph.shape[1]]
+        np.testing.assert_allclose(got_r, ml.levels[0].R @ r,
+                                   rtol=1e-13, atol=1e-13)
 
 
 def test_nonsymmetric_restriction_transposed_windowed():
