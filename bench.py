@@ -98,12 +98,23 @@ def _chained_time(jax, jnp, step, op, v0, k=128, repeats=3):
 
 
 def _timed_device_solve(dml, b, **kw):
-    """Compile (untimed), then time one full device solve."""
+    """Compile (untimed), then time one full device-resident solve.
+
+    The RHS is staged on device once and the solution stays on device
+    (device_out) — the ~22 MB/s relay D2H pull of a 4.2M-unknown x would
+    otherwise dominate the measurement.  The history pull inside solve()
+    is the reliable scalar-ish sync on this backend."""
+    import jax.numpy as jnp
+
+    dtype = (jnp.float64 if kw.get("precision") == "mixed"
+             else dml.hierarchy.dtype)
+    b_dev = jnp.asarray(np.asarray(b).ravel(), dtype=dtype)
+    float(jnp.sum(jnp.abs(b_dev)))          # materialize the upload
     res = []
-    dml.solve(b, residuals=res, **kw)
+    dml.solve(b_dev, residuals=res, device_out=True, **kw)
     t0 = time.perf_counter()
     res = []
-    x = dml.solve(b, residuals=res, **kw)
+    x = dml.solve(b_dev, residuals=res, device_out=True, **kw)
     return time.perf_counter() - t0, res, x
 
 

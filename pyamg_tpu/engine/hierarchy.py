@@ -490,6 +490,9 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
         if A_dev is None:
             A_dev = _maybe_compress(select_operator(A, dtype=dtype,
                                                     row_pad=row_pad))
+        # the level's vector length follows the compiled operator's row
+        # padding (the adaptive windowed row block may exceed row_pad)
+        n_pad = int(getattr(A_dev, "n_pad", n_pad))
         fac = getattr(lvl.P, "_sa_factor", None)
         P_dev = _transfer_operator(sp.csr_matrix(lvl.P), dtype, row_pad,
                                    fac=fac)

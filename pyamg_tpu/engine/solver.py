@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..sparse import pad_vector
 from .hierarchy import DeviceHierarchy, compile_hierarchy
-from .krylov import device_bicgstab, device_cg, device_fgmres
+from .krylov import (_norm, _vdot, device_bicgstab, device_cg,
+                     device_fgmres)
 
 __all__ = ["DeviceMultilevelSolver", "as_device_solver"]
 
@@ -75,14 +76,14 @@ def _make_cycle(nlev, cycle, amli_depth=2):
                                         dtype=b.dtype),
                               rc_cur, "AMLI")
                     if p_prev is not None:
-                        denom = jnp.vdot(p_prev, Ap_prev)
-                        beta = jnp.vdot(p_prev, Ac @ p) / jnp.where(
+                        denom = _vdot(p_prev, Ap_prev)
+                        beta = _vdot(p_prev, Ac @ p) / jnp.where(
                             denom == 0, 1.0, denom)
                         beta = jnp.where(denom == 0, 0.0, beta)
                         p = p - beta * p_prev
                     Ap = Ac @ p
-                    denom = jnp.vdot(p, Ap)
-                    alpha = jnp.vdot(p, rc_cur) / jnp.where(
+                    denom = _vdot(p, Ap)
+                    alpha = _vdot(p, rc_cur) / jnp.where(
                         denom == 0, 1.0, denom)
                     alpha = jnp.where(denom == 0, 0.0, alpha)
                     xc = xc + alpha * p
@@ -123,7 +124,11 @@ class DeviceMultilevelSolver:
 
         def mk_ops(h, cycle_dtype):
             if mixed:
-                matvec = lambda v: h.A64 @ v
+                # A64's row padding may differ from the level's (the f32
+                # operator's adaptive windowed block sets n_pad)
+                n_pad = h.levels[0].n_pad
+                a64_pad = getattr(h.A64, "n_pad", n_pad)
+                matvec = lambda v: _fitv(h.A64 @ _fitv(v, a64_pad), n_pad)
                 precond = lambda r: one_cycle(
                     h, jnp.zeros(r.shape, dtype=cycle_dtype),
                     r.astype(cycle_dtype)).astype(r.dtype)
@@ -135,10 +140,9 @@ class DeviceMultilevelSolver:
         if accel is None:
             def run(h, b, x0, tol):
                 matvec, _ = mk_ops(h, h.dtype)
-                rtol = tol * jnp.where(jnp.linalg.norm(b) == 0, 1.0,
-                                       jnp.linalg.norm(b))
+                rtol = tol * jnp.where(_norm(b) == 0, 1.0, _norm(b))
                 r = b - matvec(x0)
-                normr = jnp.linalg.norm(r)
+                normr = _norm(r)
                 history = jnp.full(maxiter + 1, jnp.nan,
                                    dtype=b.dtype).at[0].set(normr)
 
@@ -155,7 +159,7 @@ class DeviceMultilevelSolver:
                         x = x + corr
                     else:
                         x = one_cycle(h, x, b)
-                    normr = jnp.linalg.norm(b - matvec(x))
+                    normr = _norm(b - matvec(x))
                     history = history.at[it + 1].set(normr)
                     return (it + 1, x, normr, history)
 
@@ -188,34 +192,44 @@ class DeviceMultilevelSolver:
 
     def solve(self, b, x0=None, tol=1e-8, maxiter=100, cycle="V",
               accel=None, residuals=None, return_info=False, restart=30,
-              precision="native", amli_depth=2):
+              precision="native", amli_depth=2, device_out=False):
         """precision='native' runs entirely in the hierarchy dtype;
         'mixed' runs the outer Krylov loop in f64 on device with the f32
         cycle as preconditioner (reaches 1e-10 at device speed; requires
-        compile_hierarchy(mixed_precision=True))."""
+        compile_hierarchy(mixed_precision=True)).
+
+        ``device_out=True`` returns x as a device array (sliced view, no
+        device-to-host copy) for TPU-resident pipelines where the
+        solution feeds further device computation — the D2H pull of a
+        multi-million-unknown solution can cost seconds through a relay
+        link and is pure overhead if the result stays on device.
+        ``b``/``x0`` may likewise be device arrays (no host staging)."""
         h = self.hierarchy
         n = h.levels[0].n
         n_pad = h.levels[0].n_pad
         dtype = jnp.float64 if precision == "mixed" else h.dtype
-        b_dev = pad_vector(jnp.asarray(np.asarray(b).ravel(), dtype=dtype),
-                           n_pad)
-        if x0 is None:
-            x0_dev = jnp.zeros(n_pad, dtype=dtype)
-        else:
-            x0_dev = pad_vector(
-                jnp.asarray(np.asarray(x0).ravel(), dtype=dtype), n_pad)
+
+        def _stage(v):
+            if isinstance(v, jnp.ndarray):
+                return pad_vector(v.ravel().astype(dtype), n_pad)
+            return pad_vector(jnp.asarray(np.asarray(v).ravel(),
+                                          dtype=dtype), n_pad)
+
+        b_dev = _stage(b)
+        x0_dev = (jnp.zeros(n_pad, dtype=dtype) if x0 is None
+                  else _stage(x0))
         fn = self._get_compiled(str(cycle).upper(), accel, int(maxiter),
                                 int(restart), precision, int(amli_depth))
         rdtype = np.zeros((), dtype=np.dtype(dtype)).real.dtype
         x, history, it = fn(h, b_dev, x0_dev, jnp.asarray(tol, dtype=rdtype))
-        x = np.asarray(x)[:n]
+        x = x[:n] if device_out else np.asarray(x)[:n]
         hist = np.real(np.asarray(history))
         hist = hist[~np.isnan(hist)]
         if residuals is not None:
             residuals[:] = list(hist)
         if return_info:
             converged = len(hist) >= 1 and (
-                hist[-1] < tol * max(np.linalg.norm(np.asarray(b)), 1e-300)
+                hist[-1] < tol * max(float(jnp.linalg.norm(b_dev)), 1e-300)
             )
             return x, (0 if converged else int(it))
         return x
