@@ -19,8 +19,7 @@ from .. import strength as strength_module
 from ..multilevel import MultilevelSolver
 from ..relaxation import relaxation as relaxation_module
 from ..relaxation.smoothing import change_smoothers
-from ..util.utils import (
-    asfptype,
+from ..util.utils import (galerkin_product, asfptype,
     blocksize,
     eliminate_diag_dom_nodes,
     levelize_smooth_or_improve_candidates,
@@ -263,8 +262,12 @@ def _extend_hierarchy(levels, strength, aggregate, smooth, improve_candidates,
     symmetry = getattr(A, "symmetry", "hermitian")
     if symmetry == "hermitian":
         R = P.conjugate().T.tocsr()
+        # real data: conj transpose == plain transpose; tag so the device
+        # compiler can share P's arrays without a full numeric comparison
+        levels[-1].R_is_PT = not np.iscomplexobj(P.data)
     elif symmetry == "symmetric":
         R = P.T.tocsr()
+        levels[-1].R_is_PT = True
     else:  # nonsymmetric: smooth TH against A^H
         AH = sp.csr_matrix(A).conjugate().T.tocsr()
         AH.symmetry = "nonsymmetric"
@@ -282,7 +285,7 @@ def _extend_hierarchy(levels, strength, aggregate, smooth, improve_candidates,
     levels[-1].R = R
 
     # Galerkin triple product (SpGEMM x2 — the setup hot spot, SURVEY §3.1)
-    A_coarse = sp.csr_matrix(R @ (sp.csr_matrix(A) @ P))
+    A_coarse = galerkin_product(R, A, P)
     A_coarse.symmetry = symmetry
 
     k = B_coarse.shape[1]

@@ -20,8 +20,7 @@ import scipy.sparse as sp
 
 from ..multilevel import MultilevelSolver
 from ..relaxation.smoothing import change_smoothers
-from ..util.utils import (
-    asfptype,
+from ..util.utils import (galerkin_product, asfptype,
     blocksize,
     get_Cpt_params,
     levelize_smooth_or_improve_candidates,
@@ -171,8 +170,10 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
 
     if symmetry == "hermitian":
         R = P.conjugate().T.tocsr()
+        levels[-1].R_is_PT = not np.iscomplexobj(P.data)
     elif symmetry == "symmetric":
         R = P.T.tocsr()
+        levels[-1].R_is_PT = True
     else:
         AH = sp.csr_matrix(A).conjugate().T.tocsr()
         AH.symmetry = "nonsymmetric"
@@ -196,7 +197,7 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
     levels[-1].P = P
     levels[-1].R = R
 
-    A_coarse = sp.csr_matrix(R @ (sp.csr_matrix(A) @ P))
+    A_coarse = galerkin_product(R, A, P)
     A_coarse.symmetry = symmetry
     k = B_coarse.shape[1]
     if k > 1 and A_coarse.shape[0] % k == 0:

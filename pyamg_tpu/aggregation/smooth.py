@@ -26,31 +26,69 @@ __all__ = [
 
 
 def _dinv_scaled(S, weighting="diagonal", omega=4.0 / 3.0):
-    """Return (omega_eff, DinvS) for weighted-Jacobi smoothing of S."""
+    """Return (omega_eff, dinv) for weighted-Jacobi smoothing of S —
+    dinv is None for true block weighting (no scalar row scaling).
+
+    D^-1 S is never materialized here: the smoothing product runs as the
+    fused native jacobi_smooth (or a scipy fallback that scales on
+    demand), and the 'diagonal' spectral radius runs the Arnoldi through
+    a matvec-closure operator — saving a 21M-nnz np.repeat row-scaled
+    copy per level at 4.2M unknowns."""
     if weighting == "local":
         # Local Jacobi weighting: diag = abs row sums; omega used directly.
         d = np.asarray(np.abs(S).sum(axis=1)).ravel()
         with np.errstate(divide="ignore", invalid="ignore"):
             dinv = np.where(d != 0, 1.0 / d, 0.0)
-        DinvS = scale_rows(sp.csr_matrix(S), dinv)
-        return omega, sp.csr_matrix(DinvS)
+        return omega, dinv
     if weighting == "block":
         bs = S.blocksize[0] if sp.issparse(S) and S.format == "bsr" else 1
-        if bs == 1:
-            return _dinv_scaled(S, "diagonal", omega)
-        Dinv = get_block_diag(S, bs, inv_flag=True)   # (n/bs, bs, bs)
-        Dinv_mat = _blockdiag_csr(Dinv)
-        DinvS = sp.csr_matrix(Dinv_mat @ sp.csr_matrix(S))
-        rho = approximate_spectral_radius(DinvS)
-        return omega / max(rho, 1e-300), DinvS
-    # 'diagonal' — reuse the cached rho(D^-1 S): the smoother setup
-    # (rho_D_inv_A) needs the same quantity, so one Arnoldi serves both
-    from ..relaxation.smoothing import rho_D_inv_A
+        if bs > 1:
+            return omega, None
+    # 'diagonal' — cache rho on S so the solve-phase smoother setup
+    # (relaxation.smoothing.rho_D_inv_A) reuses the same Arnoldi
+    S_csr = sp.csr_matrix(S)
+    dinv = get_diagonal(S_csr, inv=True)
+    rho = getattr(S, "_rho_D_inv", None)
+    if rho is None:
+        from scipy.sparse.linalg import LinearOperator
 
-    rho = rho_D_inv_A(S)
-    dinv = get_diagonal(S, inv=True)
-    DinvS = sp.csr_matrix(scale_rows(sp.csr_matrix(S), dinv))
-    return omega / max(rho, 1e-300), DinvS
+        if np.iscomplexobj(S_csr.data):
+            op = LinearOperator(S_csr.shape,
+                                matvec=lambda v: dinv * (S_csr @ v),
+                                dtype=S_csr.dtype)
+        else:
+            # rho is only needed to ~1% (tol=0.01): run the Arnoldi in
+            # f32 — halves the matvec + orthogonalization memory traffic
+            # of the dominant setup-phase eigen-estimate
+            S32 = S_csr.astype(np.float32)
+            dinv32 = dinv.astype(np.float32)
+            op = LinearOperator(S_csr.shape,
+                                matvec=lambda v: dinv32 * (S32 @ v),
+                                dtype=np.float32)
+        rho = float(approximate_spectral_radius(op))
+        try:
+            S._rho_D_inv = rho
+        except AttributeError:
+            pass
+    return omega / max(rho, 1e-300), dinv
+
+
+def _jacobi_smooth_step(S_csr, P, dinv, omega_eff):
+    """One P <- P - omega * diag(dinv) @ (S @ P) step: fused native
+    kernel when available, scipy pipeline otherwise."""
+    if not (np.iscomplexobj(S_csr.data) or np.iscomplexobj(P.data)):
+        try:
+            from ..amg_core import jacobi_smooth as _native
+        except ImportError:
+            _native = None
+        if _native is not None:
+            out = _native(S_csr, P, dinv, omega_eff)
+            if out is not None:
+                return out
+    SP = sp.csr_matrix(S_csr @ P)
+    if dinv is not None:
+        SP = scale_rows(SP, dinv, copy=False)
+    return sp.csr_matrix(P - omega_eff * SP)
 
 
 def _blockdiag_csr(blocks):
@@ -72,21 +110,36 @@ def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
     (reference behavior); 'local' weighting uses abs row-sum scaling with
     omega unscaled.
     """
-    omega_eff, DinvS = _dinv_scaled(S, weighting, omega)
+    bs = S.blocksize[0] if sp.issparse(S) and S.format == "bsr" else 1
+    if weighting == "block" and bs > 1:
+        # true block weighting: materialized block-D^-1 S (no scalar dinv)
+        Dinv = get_block_diag(S, bs, inv_flag=True)   # (n/bs, bs, bs)
+        DinvS = sp.csr_matrix(_blockdiag_csr(Dinv) @ sp.csr_matrix(S))
+        rho = approximate_spectral_radius(DinvS)
+        omega_eff = omega / max(rho, 1e-300)
+        P = sp.csr_matrix(T)
+        for _ in range(int(degree)):
+            P = sp.csr_matrix(P - omega_eff * sp.csr_matrix(DinvS @ P))
+        P.eliminate_zeros()
+        return P
+
+    omega_eff, dinv = _dinv_scaled(S, weighting, omega)
+    S_csr = sp.csr_matrix(S)
     P = sp.csr_matrix(T)
     for _ in range(int(degree)):
-        P = P - omega_eff * sp.csr_matrix(DinvS @ P)
-        P = sp.csr_matrix(P)
+        P = _jacobi_smooth_step(S_csr, P, dinv, omega_eff)
     P.eliminate_zeros()
-    if not filter_entries:
-        # P applies EXACTLY as S_sm^degree @ T with S_sm = I - w*DinvS.
-        # Record the factorization for the device compiler: applying the
-        # factors (square A-pattern DIA + one-hot tentative spread) is
-        # far cheaper on TPU than applying the fused P (engine/
-        # hierarchy.py::_factored_transfer).
-        S_sm = (sp.identity(S.shape[0], dtype=P.dtype, format="csr")
-                - omega_eff * DinvS).tocsr()
-        P._sa_factor = (S_sm, sp.csr_matrix(T), int(degree))
+    if not filter_entries and dinv is not None:
+        # P applies EXACTLY as S_sm^degree @ T with
+        # S_sm = I - omega_eff * diag(dinv) @ A.  Record the RECIPE (not
+        # the materialized S_sm — building it costs a 21M-nnz sparse add
+        # per level) for the device compiler, which scales the
+        # already-converted DIA of A on device: applying the factors
+        # (square A-pattern DIA + one-hot tentative spread) is far
+        # cheaper on TPU than applying the fused P
+        # (engine/hierarchy.py::_factored_transfer).
+        P._sa_factor = {"dinv": dinv, "omega": omega_eff,
+                        "T": sp.csr_matrix(T), "degree": int(degree)}
     return P
 
 
@@ -100,12 +153,11 @@ def richardson_prolongation_smoother(S, T, omega=4.0 / 3.0, degree=1):
     P = sp.csr_matrix(T)
     S = sp.csr_matrix(S)
     for _ in range(int(degree)):
-        P = P - w * sp.csr_matrix(S @ P)
-        P = sp.csr_matrix(P)
+        P = _jacobi_smooth_step(S, P, None, w)
     P.eliminate_zeros()
-    S_sm = (sp.identity(S.shape[0], dtype=P.dtype, format="csr")
-            - w * S).tocsr()
-    P._sa_factor = (S_sm, sp.csr_matrix(T), int(degree))
+    # S_sm = I - w*S: dinv=None -> identity row scaling in the recipe
+    P._sa_factor = {"dinv": None, "omega": w,
+                    "T": sp.csr_matrix(T), "degree": int(degree)}
     return P
 
 

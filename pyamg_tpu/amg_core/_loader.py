@@ -20,6 +20,9 @@ _SRC = os.path.join(_HERE, "amg_core.cpp")
 
 # names re-exported by the package when the extension loads
 NATIVE_EXPORTS = [
+    "symmetric_strength",
+    "spgemm",
+    "jacobi_smooth",
     "gauss_seidel",
     "standard_aggregation",
     "naive_aggregation",
@@ -53,7 +56,7 @@ def _build():
     if not os.path.exists(sofile):
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-std=c++17", _SRC, "-o", sofile,
+            "-std=c++17", "-fopenmp", _SRC, "-o", sofile,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -87,6 +90,31 @@ class _Native:
             ctypes.c_int64, i64, i64, i64, i64, ctypes.c_int64, i64,
         ]
         i8 = ctypes.POINTER(ctypes.c_int8)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        lib.symmetric_strength.restype = ctypes.c_int64
+        lib.symmetric_strength.argtypes = [
+            ctypes.c_int64, i64, i64, f64, ctypes.c_double, f64, i8,
+        ]
+        i32_ = ctypes.POINTER(ctypes.c_int32)
+        lib.symmetric_strength_i32.restype = ctypes.c_int64
+        lib.symmetric_strength_i32.argtypes = [
+            ctypes.c_int32, i32_, i32_, f64, ctypes.c_double, f64, i8,
+        ]
+        for suf, ci, pi in (("i32", ctypes.c_int32, i32),
+                            ("i64", ctypes.c_int64, i64)):
+            f = getattr(lib, f"spgemm_nnz_{suf}")
+            f.restype = None
+            f.argtypes = [ci, ci, pi, pi, pi, pi, pi]
+            f = getattr(lib, f"spgemm_fill_{suf}")
+            f.restype = None
+            f.argtypes = [ci, ci, pi, pi, f64, pi, pi, f64, pi, pi, f64]
+            f = getattr(lib, f"jacobi_smooth_nnz_{suf}")
+            f.restype = None
+            f.argtypes = [ci, ci, pi, pi, pi, pi, pi]
+            f = getattr(lib, f"jacobi_smooth_fill_{suf}")
+            f.restype = None
+            f.argtypes = [ci, ci, pi, pi, f64, pi, pi, f64, f64,
+                          ctypes.c_double, pi, pi, f64]
         lib.gauss_seidel.restype = None
         lib.gauss_seidel.argtypes = [
             ctypes.c_int64, i64, i64, f64, f64, f64,
@@ -136,6 +164,113 @@ class _Native:
     @staticmethod
     def _ptr_f(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    @staticmethod
+    def _csr_idx(A, B=None):
+        """Common index dtype + contiguous views for one or two CSRs."""
+        import scipy.sparse as sp
+
+        idx = np.promote_types(A.indptr.dtype,
+                               B.indptr.dtype if B is not None else np.int32)
+        if idx not in (np.dtype(np.int32), np.dtype(np.int64)):
+            idx = np.dtype(np.int64)
+        def cvt(M):
+            return (np.ascontiguousarray(M.indptr, dtype=idx),
+                    np.ascontiguousarray(M.indices, dtype=idx),
+                    np.ascontiguousarray(M.data, dtype=np.float64))
+        return idx, cvt
+
+    def _ptr(self, a):
+        return a.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32 if a.dtype == np.int32
+                           else ctypes.c_int64))
+
+    def spgemm(self, A, B):
+        """C = A @ B (parallel Gustavson, row-sorted output), or None
+        when the int32 output nnz could overflow."""
+        import scipy.sparse as sp
+
+        idx, cvt = self._csr_idx(A, B)
+        suf = "i32" if idx == np.int32 else "i64"
+        Ap, Aj, Ax = cvt(A)
+        Bp, Bj, Bx = cvt(B)
+        n_row, n_col = A.shape[0], B.shape[1]
+        cnnz = np.zeros(n_row, dtype=idx)
+        getattr(self._lib, f"spgemm_nnz_{suf}")(
+            n_row, n_col, self._ptr(Ap), self._ptr(Aj), self._ptr(Bp),
+            self._ptr(Bj), self._ptr(cnnz))
+        Cp = np.zeros(n_row + 1, dtype=np.int64)
+        np.cumsum(cnnz, out=Cp[1:])
+        nnz = int(Cp[-1])
+        if idx == np.int32 and nnz >= np.iinfo(np.int32).max:
+            return None
+        Cp = Cp.astype(idx, copy=False)
+        Cj = np.empty(nnz, dtype=idx)
+        Cx = np.empty(nnz, dtype=np.float64)
+        getattr(self._lib, f"spgemm_fill_{suf}")(
+            n_row, n_col, self._ptr(Ap), self._ptr(Aj), self._ptr_f(Ax),
+            self._ptr(Bp), self._ptr(Bj), self._ptr_f(Bx), self._ptr(Cp),
+            self._ptr(Cj), self._ptr_f(Cx))
+        return sp.csr_matrix((Cx, Cj, Cp), shape=(n_row, n_col))
+
+    def jacobi_smooth(self, A, P, dinv, omega):
+        """OUT = P - omega * diag(dinv) @ (A @ P) fused (dinv=None ->
+        identity scaling), or None on int32 overflow."""
+        import scipy.sparse as sp
+
+        idx, cvt = self._csr_idx(A, P)
+        suf = "i32" if idx == np.int32 else "i64"
+        Ap, Aj, Ax = cvt(A)
+        Pp, Pj, Px = cvt(P)
+        n_row, n_col = A.shape[0], P.shape[1]
+        cnnz = np.zeros(n_row, dtype=idx)
+        getattr(self._lib, f"jacobi_smooth_nnz_{suf}")(
+            n_row, n_col, self._ptr(Ap), self._ptr(Aj), self._ptr(Pp),
+            self._ptr(Pj), self._ptr(cnnz))
+        Cp = np.zeros(n_row + 1, dtype=np.int64)
+        np.cumsum(cnnz, out=Cp[1:])
+        nnz = int(Cp[-1])
+        if idx == np.int32 and nnz >= np.iinfo(np.int32).max:
+            return None
+        Cp = Cp.astype(idx, copy=False)
+        Cj = np.empty(nnz, dtype=idx)
+        Cx = np.empty(nnz, dtype=np.float64)
+        dinv_arr = (np.ascontiguousarray(dinv, dtype=np.float64)
+                    if dinv is not None else None)   # keep ref alive
+        dptr = self._ptr_f(dinv_arr) if dinv_arr is not None else None
+        getattr(self._lib, f"jacobi_smooth_fill_{suf}")(
+            n_row, n_col, self._ptr(Ap), self._ptr(Aj), self._ptr_f(Ax),
+            self._ptr(Pp), self._ptr(Pj), self._ptr_f(Px), dptr,
+            ctypes.c_double(float(omega)), self._ptr(Cp), self._ptr(Cj),
+            self._ptr_f(Cx))
+        return sp.csr_matrix((Cx, Cj, Cp), shape=(n_row, n_col))
+
+    def symmetric_strength(self, indptr, indices, data, theta):
+        """Returns (data_out, keep, n_diag): row-scaled strength values
+        aligned with the input nnz, survivor mask, stored-diag count.
+        Uses the int32 entry point when scipy's index arrays are int32
+        (no 21M-element upconversion copies)."""
+        n = len(indptr) - 1
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        data_out = np.empty(len(data), dtype=np.float64)
+        keep = np.zeros(len(data), dtype=np.int8)
+        kptr = keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+        if (np.asarray(indptr).dtype == np.int32
+                and np.asarray(indices).dtype == np.int32):
+            indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+            indices = np.ascontiguousarray(indices, dtype=np.int32)
+            n_diag = self._lib.symmetric_strength_i32(
+                n, self._ptr(indptr), self._ptr(indices),
+                self._ptr_f(data), ctypes.c_double(float(theta)),
+                self._ptr_f(data_out), kptr)
+        else:
+            indptr = self._i64(indptr)
+            indices = self._i64(indices)
+            n_diag = self._lib.symmetric_strength(
+                n, self._ptr_i(indptr), self._ptr_i(indices),
+                self._ptr_f(data), ctypes.c_double(float(theta)),
+                self._ptr_f(data_out), kptr)
+        return data_out, keep, int(n_diag)
 
     def standard_aggregation(self, indptr, indices):
         n = len(indptr) - 1

@@ -17,6 +17,7 @@ import scipy.sparse as sp
 from ..multilevel import MultilevelSolver
 from ..relaxation.smoothing import change_smoothers
 from ..util.utils import asfptype, levelize_strength_or_aggregation
+from ..util.utils import galerkin_product
 from . import split as split_module
 from .classical import _INTERP_METHODS, _SPLIT_METHODS, _resolve_strength
 from .interpolate import local_air
@@ -103,7 +104,7 @@ def _extend_hierarchy(levels, strength, CF, interpolation, restrict, keep):
     if keep:
         levels[-1].C = S
 
-    A_coarse = sp.csr_matrix(R @ (sp.csr_matrix(A) @ P))
+    A_coarse = galerkin_product(R, A, P)
 
     lvl = MultilevelSolver.Level()
     lvl.A = A_coarse

@@ -16,6 +16,7 @@ from .. import strength as strength_module
 from ..multilevel import MultilevelSolver
 from ..relaxation.smoothing import change_smoothers
 from ..util.utils import asfptype, levelize_strength_or_aggregation
+from ..util.utils import galerkin_product
 from . import split as split_module
 from .interpolate import (
     classical_interpolation,
@@ -128,6 +129,7 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep):
         raise ValueError(f"unknown interpolation method {interp_name!r}")
     P = _INTERP_METHODS[interp_name](A, S, splitting, **interp_kwargs)
     R = P.T.tocsr() if not np.iscomplexobj(A.data) else P.conjugate().T.tocsr()
+    levels[-1].R_is_PT = not np.iscomplexobj(A.data)
 
     levels[-1].P = P
     levels[-1].R = R
@@ -135,7 +137,7 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep):
     if keep:
         levels[-1].C = S
 
-    A_coarse = sp.csr_matrix(R @ (sp.csr_matrix(A) @ P))
+    A_coarse = galerkin_product(R, A, P)
 
     lvl = MultilevelSolver.Level()
     lvl.A = A_coarse

@@ -351,40 +351,90 @@ def _windowed_schwarz_blocks(Acsr, n_pad, w, s):
     return np.linalg.pinv(blocks)
 
 
-def _factored_transfer(M, fac, dtype, row_pad):
-    """Compile P = S^degree @ T from the factorization the host smoother
+def _smoothing_factor_dia(A_dev, A_host, fac, dtype):
+    """Device DIA form of S_sm = I - omega * diag(dinv) @ A, built by
+    scaling the ALREADY-CONVERTED DIA of A on device — no host SpGEMM,
+    no extra conversion, no extra upload beyond dinv.  Returns None when
+    A's device form isn't a plain same-dtype DIA (BSR, windowed,
+    bf16-compressed storage), in which case the caller materializes S on
+    host instead."""
+    from ..sparse import DIAMatrix
+
+    if not isinstance(A_dev, DIAMatrix) or A_dev.dtype != jnp.dtype(dtype):
+        return None
+    n = A_host.shape[0]
+    n_pad = A_dev.n_pad
+    dinv = fac["dinv"]
+    if dinv is None:                      # richardson: identity scaling
+        scale = np.full(n_pad, -fac["omega"])
+    else:
+        scale = np.zeros(n_pad)
+        scale[:n] = -fac["omega"] * dinv
+    data = A_dev.data * jnp.asarray(scale, dtype=dtype)[None, :]
+    bump = jnp.asarray((np.arange(n_pad) < n).astype(np.float64),
+                       dtype=dtype)
+    if 0 in A_dev.offsets:
+        d0 = A_dev.offsets.index(0)
+        data = data.at[d0].add(bump)
+        offsets = A_dev.offsets
+    else:
+        data = jnp.concatenate([data, bump[None, :]])
+        offsets = A_dev.offsets + (0,)
+    return DIAMatrix(data=data, offsets=offsets, shape=A_host.shape,
+                     nnz=A_host.nnz + n)
+
+
+def _smoothing_factor_host(A_host, fac):
+    """Materialized host CSR of S_sm = I - omega * diag(dinv) @ A
+    (fallback when A has no plain-DIA device form)."""
+    from ..util.utils import scale_rows
+
+    A_csr = sp.csr_matrix(A_host)
+    dinv = fac["dinv"]
+    scaled = (A_csr * (-fac["omega"]) if dinv is None
+              else scale_rows(A_csr, -fac["omega"] * dinv, copy=True))
+    return (scaled + sp.identity(A_csr.shape[0], dtype=scaled.dtype,
+                                 format="csr")).tocsr()
+
+
+def _factored_transfer(M, fac, A_dev, A_host, dtype, row_pad):
+    """Compile P = S^degree @ T from the recipe the host smoother
     recorded (aggregation/smooth.py).  `degree` DIA applies + one k~1
     windowed spread beat the fused k~6 windowed P by ~4x at 4.2M rows.
     Returns None when the factors don't map to cheap device forms
     (S not DIA-able, T not windowable, complex dtype)."""
-    if fac is None:
+    if fac is None or A_host is None:
         return None
-    S, T, degree = fac
+    degree = fac["degree"]
     if degree < 1 or degree > 3:
         return None
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return None  # transpose sharing below would need conj handling
-    from ..sparse import DIAMatrix, dia_from_scipy
+    from ..sparse import dia_from_scipy
     from ..sparse.composed import ComposedOperator
 
-    S_dev = dia_from_scipy(sp.csr_matrix(S), dtype=dtype, row_pad=row_pad)
+    S_dev = _smoothing_factor_dia(A_dev, A_host, fac, dtype)
+    if S_dev is None:
+        S_dev = dia_from_scipy(_smoothing_factor_host(A_host, fac),
+                               dtype=dtype, row_pad=row_pad)
     if S_dev is None:
         return None
-    T_dev = windowed_from_scipy(sp.csr_matrix(T), dtype=dtype)
+    T_dev = windowed_from_scipy(sp.csr_matrix(fac["T"]), dtype=dtype)
     if T_dev is None:
         return None
     return ComposedOperator(ops=(S_dev,) * degree + (T_dev,),
                             shape=M.shape, nnz=int(M.nnz))
 
 
-def _transfer_operator(M, dtype, row_pad, fac=None):
+def _transfer_operator(M, dtype, row_pad, fac=None, A_dev=None,
+                       A_host=None):
     """Device form of a prolongator (fine-rows transfer operator): dense
     when small, else factored S^d·T when the host smoother recorded the
     factorization, else adaptive-block windowed (narrow fine-row
     windows)."""
     if max(M.shape) <= 2048:
         return dense_from_scipy(M, dtype=dtype, row_pad=row_pad)
-    F = _factored_transfer(M, fac, dtype, row_pad)
+    F = _factored_transfer(M, fac, A_dev, A_host, dtype, row_pad)
     if F is not None:
         return F
     W = windowed_from_scipy(M, dtype=dtype)
@@ -404,7 +454,8 @@ def _is_transpose_of(R, P):
     return D.nnz == 0 or np.abs(D.data).max() <= 1e-14 * scale
 
 
-def _restriction_operator(R, P, P_dev, dtype, row_pad, fac=None):
+def _restriction_operator(R, P, P_dev, dtype, row_pad, fac=None,
+                          r_is_pt=False):
     """Device form of a restriction operator (round 2).
 
     Coarse-row operators have pathologically wide column windows (one
@@ -418,22 +469,21 @@ def _restriction_operator(R, P, P_dev, dtype, row_pad, fac=None):
         return dense_from_scipy(R, dtype=dtype, row_pad=row_pad)
     from ..sparse.composed import ComposedOperator
 
-    if isinstance(P_dev, ComposedOperator) and _is_transpose_of(R, P):
+    if (isinstance(P_dev, ComposedOperator)
+            and (r_is_pt or _is_transpose_of(R, P))):
         # R = (S^d T)^T = T^T S^(T,d): share T's device arrays through the
-        # transpose kernel; S^T is its own cheap DIA conversion
-        S, _, degree = fac
-        from ..sparse import dia_from_scipy
+        # transpose kernel; S^T is a device DIA transpose (rolls only)
+        from .device_setup import dia_transpose
 
         T_dev = P_dev.ops[-1]
-        St_dev = dia_from_scipy(sp.csr_matrix(S).T.tocsr(), dtype=dtype,
-                                row_pad=row_pad)
-        if (St_dev is not None and isinstance(T_dev, WindowedELL)
+        St_dev = dia_transpose(P_dev.ops[0])
+        if (isinstance(T_dev, WindowedELL)
                 and T_dev._can_transpose_pallas()):
             return ComposedOperator(
-                ops=(TransposedWindowed(T_dev),) + (St_dev,) * degree,
+                ops=(TransposedWindowed(T_dev),) + (St_dev,) * fac["degree"],
                 shape=R.shape, nnz=int(R.nnz))
     if (isinstance(P_dev, WindowedELL) and P_dev._can_transpose_pallas()
-            and _is_transpose_of(R, P)):
+            and (r_is_pt or _is_transpose_of(R, P))):
         return TransposedWindowed(P_dev)
     Rt = sp.csr_matrix(R).T.tocsr()
     Wt = windowed_from_scipy(Rt, dtype=dtype)
@@ -494,10 +544,15 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
         # padding (the adaptive windowed row block may exceed row_pad)
         n_pad = int(getattr(A_dev, "n_pad", n_pad))
         fac = getattr(lvl.P, "_sa_factor", None)
+        # setup tags R == P^T (real symmetric/hermitian hierarchies) so
+        # the 4.2M-nnz numeric comparison is skipped on the hot path
+        r_is_pt = (bool(getattr(lvl, "R_is_PT", False))
+                   and not np.iscomplexobj(A.data))
         P_dev = _transfer_operator(sp.csr_matrix(lvl.P), dtype, row_pad,
-                                   fac=fac)
+                                   fac=fac, A_dev=A_dev, A_host=lvl.A)
         R_dev = _restriction_operator(sp.csr_matrix(lvl.R), lvl.P, P_dev,
-                                      dtype, row_pad, fac=fac)
+                                      dtype, row_pad, fac=fac,
+                                      r_is_pt=r_is_pt)
         pre = _compile_smoother(lvl, getattr(lvl, "presmoother_spec", None),
                                 dtype, n_pad)
         post = _compile_smoother(lvl, getattr(lvl, "postsmoother_spec", None),

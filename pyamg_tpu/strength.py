@@ -149,6 +149,31 @@ def symmetric_strength_of_connection(A, theta=0):
 
     A = sp.csr_matrix(A)
     n = A.shape[0]
+
+    if not np.iscomplexobj(A.data):
+        try:
+            from .amg_core import symmetric_strength as _native
+        except ImportError:
+            _native = None
+        if _native is not None:
+            data_out, keep, n_diag = _native(A.indptr, A.indices, A.data,
+                                             theta)
+            if n_diag == n:       # every diagonal stored: single pass
+                if theta == 0:
+                    # COPY the structure arrays: S aliasing A's indices
+                    # corrupts A when a downstream sort_indices() on S
+                    # reorders the shared array without A's data
+                    # (observed: level-1 RAP output is unsorted, and the
+                    # aliased sort silently destroyed A1)
+                    return sp.csr_matrix(
+                        (data_out, A.indices.copy(), A.indptr.copy()),
+                        shape=A.shape)
+                kb = keep.view(bool)
+                return sp.csr_matrix(
+                    (data_out[kb], A.indices[kb],
+                     _recount_indptr(kb, A.indptr, n)), shape=A.shape)
+            # rows without stored diagonal: vectorized fallback below
+
     if theta == 0:
         # SA-default fast path: |A| row-scaled with unit diagonal, built
         # in three passes over data with no intermediate matrices

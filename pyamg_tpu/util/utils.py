@@ -45,7 +45,33 @@ __all__ = [
     "compute_BtBinv",
     "filter_operator",
     "profile_solver",
+    "galerkin_product",
 ]
+
+
+def galerkin_product(R, A, P):
+    """A_c = R @ A @ P through the native parallel SpGEMM when available
+    (the SA/classical setup hot spot, SURVEY.md §3.1); scipy otherwise.
+
+    CSR inputs, CSR output with sorted row indices (native) or scipy's
+    ordering (fallback)."""
+    import scipy.sparse as _sp
+
+    A = _sp.csr_matrix(A)
+    R = _sp.csr_matrix(R)
+    P = _sp.csr_matrix(P)
+    if not any(np.iscomplexobj(M.data) for M in (R, A, P)):
+        try:
+            from ..amg_core import spgemm as _spgemm
+        except ImportError:
+            _spgemm = None
+        if _spgemm is not None:
+            AP = _spgemm(A, P)
+            if AP is not None:
+                Ac = _spgemm(R, AP)
+                if Ac is not None:
+                    return Ac
+    return _sp.csr_matrix(R @ (A @ P))
 
 
 def set_tol(dtype):

@@ -135,8 +135,14 @@ def test_factored_transfer_parity():
             A, smooth=("jacobi", {"degree": degree}), max_levels=2)
         Ph = ml.levels[0].P
         assert hasattr(Ph, "_sa_factor")
-        S, T, deg = Ph._sa_factor
-        assert deg == degree
+        fac = Ph._sa_factor
+        assert fac["degree"] == degree
+        # rebuild S from the recipe and check P == S^degree @ T exactly
+        A0 = sp.csr_matrix(ml.levels[0].A)
+        Dinv = sp.dia_matrix((fac["dinv"].reshape(1, -1), [0]),
+                             shape=A0.shape)
+        S = (sp.identity(A0.shape[0]) - fac["omega"] * (Dinv @ A0)).tocsr()
+        T = fac["T"]
         err = abs((S @ (S @ T) if degree == 2 else S @ T) - Ph).max()
         assert err < 1e-14
         h = compile_hierarchy(ml, dtype=jnp.float64, row_pad=8)
