@@ -415,8 +415,15 @@ def _factored_transfer(M, fac, A_dev, A_host, dtype, row_pad):
 
     S_dev = _smoothing_factor_dia(A_dev, A_host, fac, dtype)
     if S_dev is None:
+        # cap the factor's diagonal count: an unstructured level's S has
+        # A's (scattered) pattern, and a low-fill many-diagonal DIA is
+        # worse than the fused windowed P on every axis — apply cost
+        # (one rolled op per diagonal), HBM footprint (ndiags*n_pad*4B
+        # for nnz ~ 30*n), and upload volume (measured: 64^3 SA level-1
+        # S stored as ~1540 diagonals = 200 MB and dominated the
+        # W-cycle).  Structured-grid factors have ndiags ~ stencil size.
         S_dev = dia_from_scipy(_smoothing_factor_host(A_host, fac),
-                               dtype=dtype, row_pad=row_pad)
+                               dtype=dtype, row_pad=row_pad, max_diags=64)
     if S_dev is None:
         return None
     T_dev = windowed_from_scipy(sp.csr_matrix(fac["T"]), dtype=dtype)

@@ -84,8 +84,7 @@ def _shard_op(mesh, E, axis="x"):
         vec = NamedSharding(mesh, P(axis))
         return WindowedELL(
             data=jax.device_put(E.data, rows3),
-            hi=jax.device_put(E.hi, rows3),
-            lo=jax.device_put(E.lo, rows3),
+            idx=jax.device_put(E.idx, rows3),
             starts=jax.device_put(E.starts, vec),
             shape=E.shape, block=E.block, w2=E.w2,
             m_chunks=E.m_chunks, nnz=E.nnz,

@@ -70,8 +70,12 @@ class WindowedELL:
     """Window-blocked ELL matrix (see module docstring)."""
 
     data: jnp.ndarray      # (n_blocks, k, BLOCK) f32 (k-major for lean VMEM)
-    hi: jnp.ndarray        # (n_blocks, k, BLOCK) int32 chunk-in-window
-    lo: jnp.ndarray        # (n_blocks, k, BLOCK) int32 lane-in-chunk
+    idx: jnp.ndarray       # (n_blocks, k, BLOCK) int32 window-relative
+    #                        index, PACKED: idx = chunk*128 + lane.  One
+    #                        packed word instead of separate hi/lo arrays
+    #                        halves the kernel's index HBM traffic and the
+    #                        relay upload volume (unpack = shift/mask on
+    #                        the VPU, free next to the one-hot dots).
     starts: jnp.ndarray    # (n_blocks,) int32, window start in W2 units
     shape: Tuple[int, int]
     block: int             # rows per block (static)
@@ -80,14 +84,14 @@ class WindowedELL:
     nnz: int
 
     def tree_flatten(self):
-        return (self.data, self.hi, self.lo, self.starts), (
+        return (self.data, self.idx, self.starts), (
             self.shape, self.block, self.w2, self.m_chunks, self.nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, hi, lo, starts = children
+        data, idx, starts = children
         shape, block, w2, m_chunks, nnz = aux
-        return cls(data=data, hi=hi, lo=lo, starts=starts, shape=shape,
+        return cls(data=data, idx=idx, starts=starts, shape=shape,
                    block=block, w2=w2, m_chunks=m_chunks, nnz=nnz)
 
     @property
@@ -126,7 +130,7 @@ class WindowedELL:
         """Gather-based fallback (CPU tests; NEVER traced on TPU)."""
         x = self._x_padded(x)
         gidx = (self.starts[:, None, None] * self.w2
-                + self.hi * _LANES + self.lo)          # (n_blocks, k, BLOCK)
+                + self.idx)                            # (n_blocks, k, BLOCK)
         vals = jnp.take(x, gidx, axis=0)
         return jnp.sum(self.data * vals, axis=1).reshape(-1)
 
@@ -148,7 +152,7 @@ class WindowedELL:
         # operands, cast on the way out
         cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
-        def kernel(starts_ref, data_ref, hi_ref, lo_ref, xa_ref, xb_ref,
+        def kernel(starts_ref, data_ref, idx_ref, xa_ref, xb_ref,
                    y_ref):
             xw = jnp.concatenate([xa_ref[...], xb_ref[...]],
                                  axis=0).astype(cdtype)               # (H,128)
@@ -161,8 +165,9 @@ class WindowedELL:
             xws = _split3_bf16(xw) if cdtype == jnp.float32 else None
             acc = jnp.zeros((1, BLOCK), dtype=cdtype)
             for s in range(k):                      # static unroll
-                hi_s = hi_ref[0, s:s + 1, :]        # (1, BLOCK)
-                lo_s = lo_ref[0, s:s + 1, :]
+                idx_s = idx_ref[0, s:s + 1, :]      # (1, BLOCK) packed
+                hi_s = lax.shift_right_logical(idx_s, np.int32(7))
+                lo_s = jnp.bitwise_and(idx_s, np.int32(127))
                 # stage 1 (MXU): one-hot lane selection, contraction=128
                 if xws is not None:
                     OHl = (lane_iota == lo_s).astype(jnp.bfloat16)
@@ -190,7 +195,6 @@ class WindowedELL:
             in_specs=[
                 pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
                 pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
-                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
                 pl.BlockSpec((H2, _LANES), lambda b, s: (s[b], z)),
                 pl.BlockSpec((H2, _LANES), lambda b, s: (s[b] + one, z)),
             ],
@@ -201,7 +205,7 @@ class WindowedELL:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_blocks, 1, BLOCK), dtype),
             interpret=interpret,
-        )(self.starts, self.data, self.hi, self.lo, x2, x2)
+        )(self.starts, self.data, self.idx, x2, x2)
         return y.reshape(-1)
 
     def _rmatvec_pallas(self, r, interpret=False):
@@ -231,7 +235,7 @@ class WindowedELL:
         cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
         r3 = r[: self.n_pad].reshape(n_blocks, 1, BLOCK)
 
-        def kernel(starts_ref, data_ref, hi_ref, lo_ref, r_ref, y_ref):
+        def kernel(starts_ref, data_ref, idx_ref, r_ref, y_ref):
             b = pl.program_id(0)
 
             @pl.when(b == 0)
@@ -244,8 +248,9 @@ class WindowedELL:
             acc = jnp.zeros((H, _LANES), dtype=cdtype)
             dims = (((1,), (1,)), ((), ()))
             for s in range(k):
-                hi_s = hi_ref[0, s:s + 1, :]
-                lo_s = lo_ref[0, s:s + 1, :]
+                idx_s = idx_ref[0, s:s + 1, :]
+                hi_s = lax.shift_right_logical(idx_s, np.int32(7))
+                lo_s = jnp.bitwise_and(idx_s, np.int32(127))
                 w = data_ref[0, s:s + 1, :].astype(cdtype) * rb  # (1, BLOCK)
                 if cdtype == jnp.float32:
                     # split the weighted residual (the one-hot Bmat is
@@ -279,7 +284,6 @@ class WindowedELL:
             in_specs=[
                 pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
                 pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
-                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
                 pl.BlockSpec((1, 1, BLOCK), lambda b, s: (b, z, z)),
             ],
             out_specs=pl.BlockSpec((out_chunks, _LANES),
@@ -290,7 +294,7 @@ class WindowedELL:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((out_chunks, _LANES), dtype),
             interpret=interpret,
-        )(self.starts, self.data, self.hi, self.lo, r3)
+        )(self.starts, self.data, self.idx, r3)
         return y.reshape(-1)
 
     def rmatvec(self, x):
@@ -303,7 +307,7 @@ class WindowedELL:
 
     def _rmatvec_reference(self, x):
         gidx = (self.starts[:, None, None] * self.w2
-                + self.hi * _LANES + self.lo)          # (n_blocks, k, BLOCK)
+                + self.idx)                            # (n_blocks, k, BLOCK)
         xb = x[: self.n_pad].reshape(self.data.shape[0], 1, self.block)
         y = jnp.zeros(self.m_chunks * self.w2, dtype=self.dtype)
         return y.at[gidx].add(self.data * xb)
@@ -324,7 +328,7 @@ class WindowedELL:
 
     def diagonal(self):
         gidx = (self.starts[:, None, None] * self.w2
-                + self.hi * _LANES + self.lo)          # (n_blocks, k, BLOCK)
+                + self.idx)                            # (n_blocks, k, BLOCK)
         rows = jnp.arange(self.n_pad).reshape(self.data.shape[0], 1,
                                               self.block)
         return jnp.sum(jnp.where(gidx == rows, self.data, 0), axis=1).reshape(-1)
@@ -481,18 +485,19 @@ def windowed_from_scipy(A, dtype=jnp.float32, block=None, max_w2=16384):
 
     local = cols - (starts[:, None] * w2).repeat(block, axis=0).reshape(n_pad, 1)
     local = np.where(has, local, 0)
-    hi = (local // _LANES).astype(np.int64)
-    lo = (local % _LANES).astype(np.int64)
+
+    # ship the packed window-relative index (= chunk*128 + lane) as int16
+    # — it fits (local < 2*max_w2 = 32768) and the relay upload is the
+    # dominant cost of hierarchy compilation at multi-million rows; one
+    # device-side cast widens to the kernel's int32.
+    idx16 = local.reshape(n_blocks, block, k).transpose(0, 2, 1).astype(
+        np.int16)
+    idx = jnp.asarray(idx16).astype(jnp.int32)
 
     return WindowedELL(
         data=jnp.asarray(
             vals.reshape(n_blocks, block, k).transpose(0, 2, 1), dtype=dtype),
-        hi=jnp.asarray(
-            hi.reshape(n_blocks, block, k).transpose(0, 2, 1),
-            dtype=jnp.int32),
-        lo=jnp.asarray(
-            lo.reshape(n_blocks, block, k).transpose(0, 2, 1),
-            dtype=jnp.int32),
+        idx=idx,
         starts=jnp.asarray(starts, dtype=jnp.int32),
         shape=(n, m),
         block=block,
