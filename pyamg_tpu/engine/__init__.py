@@ -5,6 +5,8 @@ level pytree.  Build with ``as_device_solver(ml)`` from any host
 MultilevelSolver.
 """
 
+from .block_setup import (BlockStructuredProlongator,
+                          BlockStructuredRestrictor, device_sa_setup_block)
 from .device_setup import StructuredDeviceSolver, device_sa_setup
 from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
 from .krylov import device_bicgstab, device_cg, device_fgmres
@@ -19,6 +21,9 @@ __all__ = [
     "device_cg",
     "device_fgmres",
     "device_sa_setup",
+    "device_sa_setup_block",
+    "BlockStructuredProlongator",
+    "BlockStructuredRestrictor",
     "DeviceMultilevelSolver",
     "as_device_solver",
 ]

@@ -731,6 +731,8 @@ def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     Returns a :class:`StructuredDeviceSolver` (drop-in
     DeviceMultilevelSolver).  See module docstring for scope.
     """
+    if jnp.dtype(dtype).itemsize == 8:
+        jax.config.update("jax_enable_x64", True)   # else silent f32
     grid = tuple(int(g) for g in grid)
     n = int(np.prod(grid))
     if sp.issparse(A) or isinstance(A, np.ndarray):

@@ -107,6 +107,13 @@ def richardson_dyn(omega, iterations=1):
                           arrays=(omega,))
 
 
+def block_jacobi_dyn(Dinv, omega, iterations=1):
+    """Block Jacobi with DEVICE-RESIDENT omega (block analog of
+    jacobi_dyn, for the one-program block device setup pipeline)."""
+    return DeviceSmoother(config=("block_jacobi_dyn", int(iterations)),
+                          arrays=(Dinv, omega))
+
+
 def polynomial_dyn(coefficients, iterations=1):
     """Polynomial (Chebyshev) smoother with device-resident coefficients
     (1-d array leaf, static length)."""
@@ -274,6 +281,15 @@ def apply_smoother(config, arrays, A, x, b):
         (omega,) = arrays
         for _ in range(iterations):
             x = x + omega * (b - (A @ x))
+        return x
+
+    if kind == "block_jacobi_dyn":
+        _, iterations = config
+        Dinv, omega = arrays
+        bs = Dinv.shape[1]
+        for _ in range(iterations):
+            r = (b - (A @ x)).reshape(-1, bs)
+            x = x + omega * jnp.einsum("nij,nj->ni", Dinv, r).reshape(-1)
         return x
 
     if kind == "poly_dyn":

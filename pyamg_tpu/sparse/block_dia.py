@@ -83,11 +83,22 @@ class BlockDIAMatrix:
                                jnp.roll(xb, -self.offsets[d], axis=0))
         return y.reshape(-1)
 
+    def matmat(self, X):
+        """Y = A @ X for a column stack (n_pad, K): one rolled batched
+        einsum per diagonal instead of K per-column programs (used to
+        densify coarse block operators on device)."""
+        K = X.shape[1]
+        Xb = X.reshape(self.nb_pad, self.bs, K)
+        Y = jnp.einsum("nij,njk->nik", self.data[0],
+                       jnp.roll(Xb, -self.offsets[0], axis=0))
+        for d in range(1, len(self.offsets)):
+            Y = Y + jnp.einsum("nij,njk->nik", self.data[d],
+                               jnp.roll(Xb, -self.offsets[d], axis=0))
+        return Y.reshape(-1, K)
+
     def __matmul__(self, x):
         if x.ndim != 1:
-            X = x
-            cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
-            return jnp.stack(cols, axis=1)
+            return self.matmat(x)
         return self.matvec(x)
 
     def rmatvec(self, x):
