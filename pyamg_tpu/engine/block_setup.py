@@ -614,7 +614,8 @@ def device_sa_setup_block(A, grid, B, dtype=jnp.float32, omega=4.0 / 3.0,
                           presmoother=("block_jacobi",
                                        {"omega": 4.0 / 3.0}),
                           postsmoother=("block_jacobi",
-                                        {"omega": 4.0 / 3.0})):
+                                        {"omega": 4.0 / 3.0}),
+                          mixed_precision=False):
     """Build a BLOCK / multi-candidate SA hierarchy on device.
 
     ``A``: scipy BSR (square blocks, node-major rows on the row-major
@@ -715,9 +716,20 @@ def device_sa_setup_block(A, grid, B, dtype=jnp.float32, omega=4.0 / 3.0,
     dev_levels.append(DeviceLevel(A=Ac_op, P=None, R=None, pre=ident,
                                   post=ident, n=nc, n_pad=nc))
 
+    A64 = None
+    if mixed_precision:
+        jax.config.update("jax_enable_x64", True)
+        if not sp.issparse(A):
+            raise ValueError("mixed_precision needs the scipy operator "
+                             "(f64 source data)")
+        from ..sparse import block_dia_from_scipy as _bd64
+
+        A64_bd = _bd64(Absr, dtype=jnp.float64, max_diags=600)
+        A64 = _relayout_block(A64_bd, grid, plan[0][1])
+
     hierarchy = DeviceHierarchy(
         levels=dev_levels, coarse_inv=coarse_inv, nc=nc, nc_pad=nc,
-        dtype=jnp.dtype(dtype))
+        dtype=jnp.dtype(dtype), A64=A64)
     return BlockStructuredDeviceSolver(
         hierarchy, grid, plan[0][1], bs,
         setup_info={"levels": infos, "m": m, "stride": stride})

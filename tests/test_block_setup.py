@@ -135,6 +135,22 @@ def test_scalar_multicandidate_converges():
     assert factor < 0.45
 
 
+def test_block_mixed_precision_true_residual():
+    """f32 hierarchy + f64 outer Krylov on device: the reported history
+    equals the TRUE residual (the f32-only path drifts at ~1e-4 on
+    elasticity's conditioning)."""
+    A, B = linear_elasticity((32, 32))
+    ds = device_sa_setup_block(A, grid=(32, 31), B=B,
+                               mixed_precision=True)
+    b = np.random.default_rng(1).random(A.shape[0])
+    res = []
+    x = ds.solve(b, tol=1e-9, maxiter=100, accel="cg", residuals=res,
+                 precision="mixed")
+    true_rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert true_rel < 1e-8
+    np.testing.assert_allclose(res[-1] / res[0], true_rel, rtol=1e-3)
+
+
 def test_block_setup_rejects_bad_inputs():
     A = poisson((16, 16), format="csr")
     n = A.shape[0]
