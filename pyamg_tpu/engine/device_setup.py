@@ -103,8 +103,20 @@ def _coords_to_offset(coords, grid):
     return int(o)
 
 
+def _tup(v, dim):
+    """Normalize a per-dim parameter: int -> (v,)*dim, tuple -> tuple.
+    Lets every grid helper take anisotropic (per-dim) strides/centers —
+    the semicoarsening device setup — while scalar callers stay as-is."""
+    if isinstance(v, (tuple, list)):
+        if len(v) != dim:
+            raise ValueError(f"expected {dim} per-dim values, got {v}")
+        return tuple(int(x) for x in v)
+    return (int(v),) * dim
+
+
 def _padded_grid(grid, stride):
-    return tuple(int(stride * -(-g // stride)) for g in grid)
+    ss = _tup(stride, len(grid))
+    return tuple(int(s * -(-g // s)) for g, s in zip(grid, ss))
 
 
 # ---------------------------------------------------------------------------
@@ -133,8 +145,11 @@ def _embed_coarse(xc, coarse_grid, stride, center):
     (..., nc, stride) intermediates whose minor dims tile-pad ~43x on
     TPU and OOM at 2048^2 — measured round 2.)
     """
+    dim = len(coarse_grid)
+    ss = _tup(stride, dim)
+    cc = _tup(center, dim)
     y = xc.reshape(coarse_grid)
-    cfg = [(center, stride - 1 - center, stride - 1)] * len(coarse_grid)
+    cfg = [(c, s - 1 - c, s - 1) for s, c in zip(ss, cc)]
     y = lax.pad(y, jnp.zeros((), dtype=xc.dtype), cfg)
     return y.reshape(-1)
 
@@ -145,9 +160,12 @@ def _compact_fine(v, coarse_grid, stride, center):
     Strided slice on the grid-shaped view — native data movement, large
     minor dims throughout.
     """
-    fine_p = tuple(g * stride for g in coarse_grid)
+    dim = len(coarse_grid)
+    ss = _tup(stride, dim)
+    cc = _tup(center, dim)
+    fine_p = tuple(g * s for g, s in zip(coarse_grid, ss))
     v = v.reshape(fine_p)
-    idx = tuple(slice(center, None, stride) for _ in coarse_grid)
+    idx = tuple(slice(c, None, s) for s, c in zip(ss, cc))
     return v[idx].reshape(-1)
 
 
@@ -209,13 +227,15 @@ def _compact_dia(A_emb: DIAMatrix, grid_p, stride, center) -> DIAMatrix:
     offset decomposes into per-dim deltas that are multiples of stride;
     the coarse offset is the same delta / stride on the coarse grid.
     """
-    coarse_grid = tuple(g // stride for g in grid_p)
+    dim = len(grid_p)
+    ss = _tup(stride, dim)
+    coarse_grid = tuple(g // s for g, s in zip(grid_p, ss))
     out_offsets = []
     rows = []
     for d, o in enumerate(A_emb.offsets):
         coords = _offset_to_coords(o, grid_p)
-        assert all(c % stride == 0 for c in coords), (o, coords)
-        cc = tuple(c // stride for c in coords)
+        assert all(c % s == 0 for c, s in zip(coords, ss)), (o, coords)
+        cc = tuple(c // s for c, s in zip(coords, ss))
         out_offsets.append(_coords_to_offset(cc, coarse_grid))
         rows.append(_compact_fine(A_emb.data[d], coarse_grid, stride,
                                   center))
@@ -360,21 +380,22 @@ def _block_norms(B, coarse_grid, stride):
     single column) via `lax.reduce_window` — the native TPU block-sum
     (interleaved reshape-sums tile-pad badly, see _embed_coarse)."""
     dim = len(coarse_grid)
-    fine_p = tuple(g * stride for g in coarse_grid)
+    ss = _tup(stride, dim)
+    fine_p = tuple(g * s for g, s in zip(coarse_grid, ss))
     sq = (B * B).reshape(fine_p)
     s = lax.reduce_window(sq, jnp.zeros((), dtype=sq.dtype), lax.add,
-                          (stride,) * dim, (stride,) * dim,
-                          "VALID")
+                          ss, ss, "VALID")
     return jnp.sqrt(s).reshape(-1)
 
 
 def _block_sum(v, coarse_grid, stride):
     """Per-aggregate sum of a fine padded-grid vector (reduce_window)."""
     dim = len(coarse_grid)
-    fine_p = tuple(g * stride for g in coarse_grid)
+    ss = _tup(stride, dim)
+    fine_p = tuple(g * s for g, s in zip(coarse_grid, ss))
     s = lax.reduce_window(v.reshape(fine_p),
                           jnp.zeros((), dtype=v.dtype), lax.add,
-                          (stride,) * dim, (stride,) * dim, "VALID")
+                          ss, ss, "VALID")
     return s.reshape(-1)
 
 
@@ -382,11 +403,14 @@ def _broadcast_coarse(vc, coarse_grid, stride, center):
     """Replicate each coarse value over its stride^d fine block:
     embed at centers, then spread by summing the stride^d rolls (each
     fine point sees exactly its own center once)."""
+    dim = len(coarse_grid)
+    ss = _tup(stride, dim)
+    cc = _tup(center, dim)
     e = _embed_coarse(vc, coarse_grid, stride, center)
-    fine_p = tuple(g * stride for g in coarse_grid)
+    fine_p = tuple(g * s for g, s in zip(coarse_grid, ss))
     out = jnp.zeros_like(e)
-    for combo in np.ndindex(*([stride] * len(coarse_grid))):
-        coords = tuple(int(c) - center for c in combo)
+    for combo in np.ndindex(*ss):
+        coords = tuple(int(c) - ctr for c, ctr in zip(combo, cc))
         out = out + jnp.roll(e, _coords_to_offset(coords, fine_p))
     return out
 
@@ -402,25 +426,27 @@ def _tentative_emb(B, grid_p, stride, center, dtype) -> Tuple[DIAMatrix,
     by static iota masks.
     """
     dim = len(grid_p)
-    coarse_grid = tuple(g // stride for g in grid_p)
+    ss = _tup(stride, dim)
+    cc = _tup(center, dim)
+    coarse_grid = tuple(g // s for g, s in zip(grid_p, ss))
     norms = _block_norms(B, coarse_grid, stride)
     norms_f = _broadcast_coarse(norms, coarse_grid, stride, center)
     tv = jnp.where(norms_f > 0, B / jnp.where(norms_f > 0, norms_f, 1), 0)
 
     # per-dim position-within-aggregate masks (trace-time iota)
-    pos = [jnp.arange(g) % stride for g in grid_p]
+    pos = [jnp.arange(g) % s for g, s in zip(grid_p, ss)]
 
     offsets = []
     rows = []
-    for combo in np.ndindex(*([2 * stride - 1] * dim)):
-        coords = tuple(int(c) - (stride - 1) for c in combo)
+    for combo in np.ndindex(*[2 * s - 1 for s in ss]):
+        coords = tuple(int(c) - (s - 1) for c, s in zip(combo, ss))
         # fine point at in-block position p gets root offset center - p,
         # so diagonal `coords` selects points with p == center - coords
         masks = []
         ok = True
         for d in range(dim):
-            want = center - coords[d]
-            if not (0 <= want < stride):
+            want = cc[d] - coords[d]
+            if not (0 <= want < ss[d]):
                 ok = False
                 break
             masks.append(pos[d] == want)
@@ -546,26 +572,27 @@ def _smoother_wrap(key, arrays):
     raise ValueError(name)
 
 
-@partial(jax.jit, static_argnames=("plan", "stride", "omega", "dtype",
+@partial(jax.jit, static_argnames=("plan", "omega", "dtype",
                                    "pre_key", "post_key"))
-def _setup_pipeline(A_in, *, plan, stride, omega, dtype, pre_key,
-                    post_key):
+def _setup_pipeline(A_in, *, plan, omega, dtype, pre_key, post_key):
     """The ENTIRE multi-level SA setup as ONE XLA program.
 
-    plan: static tuple of (grid, grid_p) per level.  One program instead
-    of one per level + one per smoother: through the axon relay every
-    distinct executable pays a large one-time first-run cost, so program
-    count — not FLOPs — dominates cold setup latency (measured round 2:
-    5 level programs + smoother/densify programs ≈ minutes cold; fused ≈
-    one program's overhead).  Returns per-level operator pytrees, rho
-    estimates, smoother arrays, plus the dense coarse operator and its
-    on-device pseudo-inverse — zero host round-trips.
+    plan: static tuple of (grid, grid_p, strides) per level — per-dim
+    strides enable SEMICOARSENING on anisotropic problems (stride 1 in
+    weak-coupling dims).  One program instead of one per level + one per
+    smoother: through the axon relay every distinct executable pays a
+    large one-time first-run cost, so program count — not FLOPs —
+    dominates cold setup latency (measured round 2: 5 level programs +
+    smoother/densify programs ≈ minutes cold; fused ≈ one program's
+    overhead).  Returns per-level operator pytrees, rho estimates,
+    smoother arrays, plus the dense coarse operator and its on-device
+    pseudo-inverse — zero host round-trips.
     """
-    center = stride // 2
     cur = A_in
     B = None
     out_levels = []
-    for (grid, grid_p) in plan:
+    for (grid, grid_p, strides) in plan:
+        center = tuple(s // 2 for s in strides)
         A_p = _relayout_dia(cur, grid, grid_p)
         if B is None:
             Bv = jnp.where(A_p.diagonal() != 0,
@@ -573,7 +600,7 @@ def _setup_pipeline(A_in, *, plan, stride, omega, dtype, pre_key,
         else:
             Bv = _grid_pad_vec(B[: int(np.prod(grid))], grid, grid_p)
         S_op, St_op, tv, A_c, Bc, rho = _coarsen_level(
-            A_p, Bv, grid_p, stride, center, omega, dtype)
+            A_p, Bv, grid_p, strides, center, omega, dtype)
         diag = A_p.diagonal()
         dinv = jnp.where(diag != 0,
                          1.0 / jnp.where(diag != 0, diag, 1), 0)
@@ -624,19 +651,35 @@ def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
     dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
     T, Bc, tv = _tentative_emb(B, grid_p, stride, center, dtype)
     rho = _power_rho(A_p, dinv)
-    # S = I - (omega/rho) D^-1 A as a DIA (row-scaled A + identity bump)
+    # S = I - (omega/rho) D^-1 A_dir as a DIA (row-scaled + identity
+    # bump).  A_dir drops offsets that move along UNCOARSENED (stride-1)
+    # dims: smoothing P along weak directions both wastes work (the
+    # couplings there are O(eps) under semicoarsening) and grows the
+    # coarse stencil by ±span per level in those dims (unbounded ndiags
+    # — measured 5 -> 17 -> ... on anisotropic diffusion).  This is the
+    # structured analog of strength-filtered prolongation smoothing
+    # ([R] pyamg/aggregation/smooth.py jacobi_prolongation_smoother's C
+    # filter, SURVEY.md §2.2).  Isotropic strides keep every offset.
+    ss_dir = _tup(stride, len(grid_p))
+    s_keep = [d for d, o in enumerate(A_p.offsets)
+              if all(c == 0 or s > 1 for c, s in
+                     zip(_offset_to_coords(o, grid_p), ss_dir))]
+    s_offsets = tuple(A_p.offsets[d] for d in s_keep)
     scale = -(omega / jnp.where(rho == 0, 1, rho))
-    s_data = A_p.data * (scale * dinv)[None, :]
-    if 0 in A_p.offsets:
-        d0 = A_p.offsets.index(0)
+    # static row selection (never a traced gather: DESIGN.md rule 1)
+    s_data = (jnp.stack([A_p.data[d] for d in s_keep])
+              * (scale * dinv)[None, :]) if s_keep else None
+    if 0 in s_offsets:
+        d0 = s_offsets.index(0)
         s_data = s_data.at[d0].add(jnp.where(diag != 0, 1.0, 0.0))
-        S = DIAMatrix(data=s_data, offsets=A_p.offsets, shape=A_p.shape,
+        S = DIAMatrix(data=s_data, offsets=s_offsets, shape=A_p.shape,
                       nnz=A_p.nnz)
     else:
-        S = DIAMatrix(
-            data=jnp.concatenate(
-                [s_data, jnp.where(diag != 0, 1.0, 0.0)[None, :]]),
-            offsets=A_p.offsets + (0,), shape=A_p.shape, nnz=A_p.nnz)
+        bump = jnp.where(diag != 0, 1.0, 0.0)[None, :]
+        s_data = (jnp.concatenate([s_data, bump]) if s_data is not None
+                  else bump)
+        S = DIAMatrix(data=s_data, offsets=s_offsets + (0,),
+                      shape=A_p.shape, nnz=A_p.nnz)
     P_emb = dia_spgemm(S, T)
     R_emb = dia_transpose(P_emb)
     St = dia_transpose(S)
@@ -644,6 +687,7 @@ def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
     # structural filter: only center-to-center offsets (every per-dim
     # delta ≡ 0 mod stride) survive compaction — enumerate candidates
     # from the actual operand offsets
+    ss = _tup(stride, len(grid_p))
     cand = set()
     for oa in R_emb.offsets:
         for ob in AP.offsets:
@@ -652,7 +696,7 @@ def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
                 coords = _offset_to_coords(oc, grid_p)
             except ValueError:
                 continue
-            if all(c % stride == 0 for c in coords):
+            if all(c % s == 0 for c, s in zip(coords, ss)):
                 cand.add(oc)
     Ac_emb = _dia_spgemm_filtered(R_emb, AP, cand)
     A_c = _compact_dia(Ac_emb, grid_p, stride, center)
@@ -728,12 +772,22 @@ def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     coarse stencil grow without bound (25-point, then more) and
     compile/solve cost blows up with it.
 
+    ``stride`` may also be a per-dim tuple (SEMICOARSENING: stride 1 in
+    weak-coupling dims — the classic cure for grid-aligned anisotropy)
+    or ``'auto'``, which reads per-dim coupling strengths off the
+    stencil (mean |A[i, i±e_d]|) and coarsens only dims within 9x of
+    the strongest, rescaling couplings by 1/stride^2 per level (the
+    1/h^2 law).  Reference counterpart: strength-of-connection-guided
+    aggregation ([R] pyamg/strength.py + aggregate.py, SURVEY.md §2.3)
+    — the structured analog of dropping weak connections.
+
     Returns a :class:`StructuredDeviceSolver` (drop-in
     DeviceMultilevelSolver).  See module docstring for scope.
     """
     if jnp.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)   # else silent f32
     grid = tuple(int(g) for g in grid)
+    dim = len(grid)
     n = int(np.prod(grid))
     if sp.issparse(A) or isinstance(A, np.ndarray):
         if A.shape[0] != n:
@@ -744,18 +798,48 @@ def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     else:
         raise TypeError("A must be scipy sparse or DIAMatrix")
 
+    # per-dim coupling strengths for stride='auto' (semicoarsening):
+    # mean |A[i, i±e_d]| per dim, updated /9 per 3x-coarsened dim (the
+    # 1/h^2 scaling of grid-aligned diffusion stencils)
+    couple = None
+    if stride == "auto":
+        couple = []
+        offs = dict(zip(A_dia.offsets, range(len(A_dia.offsets))))
+        for d in range(dim):
+            delta = int(np.prod(grid[d + 1:]))
+            s_d = 0.0
+            for o in (delta, -delta):
+                if o in offs:
+                    s_d = max(s_d, float(jnp.mean(jnp.abs(
+                        A_dia.data[offs[o]]))))
+            couple.append(s_d)
+        if max(couple) == 0:
+            couple = None      # degenerate (diagonal) — isotropic plan
+
+    def _level_strides(cpl):
+        if cpl is None:
+            return _tup(3 if stride == "auto" else stride, dim)
+        smax = max(cpl)
+        return tuple(3 if c * 9.0 >= smax else 1 for c in cpl)
+
     # ---- static coarsening plan ---------------------------------------
     # Offset->coordinate decomposition is unambiguous only while every
     # padded dim >= 3*stride (entry spans stay < dim/2); stop coarsening
     # below that (the level is coarse enough for the dense solve anyway).
     plan = []
     cur_grid = grid
-    while (int(np.prod(cur_grid)) > max_coarse
-           and len(plan) < max_levels - 1
-           and min(_padded_grid(cur_grid, stride)) >= 3 * stride):
-        grid_p = _padded_grid(cur_grid, stride)
-        plan.append((cur_grid, grid_p))
-        cur_grid = tuple(g // stride for g in grid_p)
+    cur_couple = couple
+    while int(np.prod(cur_grid)) > max_coarse and len(plan) < max_levels - 1:
+        strides = _level_strides(cur_couple)
+        grid_p = _padded_grid(cur_grid, strides)
+        if not all(gp >= 3 * s for gp, s in zip(grid_p, strides)
+                   if s > 1):
+            break
+        plan.append((cur_grid, grid_p, strides))
+        cur_grid = tuple(g // s for g, s in zip(grid_p, strides))
+        if cur_couple is not None:
+            cur_couple = [c / (s * s) for c, s in zip(cur_couple,
+                                                      strides)]
     nlev = len(plan)
     if nlev == 0:
         raise ValueError(
@@ -767,24 +851,24 @@ def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
 
     # ---- one fused device program for the whole setup -----------------
     out_levels, Ac_dense, coarse_inv = _setup_pipeline(
-        A_dia, plan=tuple(plan), stride=stride, omega=omega, dtype=dtype,
+        A_dia, plan=tuple(plan), omega=omega, dtype=dtype,
         pre_key=pre_key, post_key=post_key)
 
     # ---- assemble the DeviceHierarchy (host bookkeeping only) ---------
     dev_levels = []
     infos = []
-    for i, ((lv_grid, grid_p), (A_p, S_op, St_op, tv, rho, pre_arr,
-                                post_arr)) in enumerate(zip(plan,
-                                                            out_levels)):
-        coarse_grid = tuple(g // stride for g in grid_p)
-        coarse_grid_p = (_padded_grid(coarse_grid, stride)
-                         if i + 1 < nlev else coarse_grid)
+    for i, ((lv_grid, grid_p, strides), (A_p, S_op, St_op, tv, rho,
+                                         pre_arr, post_arr)) in enumerate(
+            zip(plan, out_levels)):
+        centers = tuple(s // 2 for s in strides)
+        coarse_grid = tuple(g // s for g, s in zip(grid_p, strides))
+        coarse_grid_p = (plan[i + 1][1] if i + 1 < nlev else coarse_grid)
         P = StructuredProlongator(
             S=S_op, tv=tv, fine_grid_p=grid_p, coarse_grid=coarse_grid,
-            coarse_grid_p=coarse_grid_p, stride=stride, center=stride // 2)
+            coarse_grid_p=coarse_grid_p, stride=strides, center=centers)
         R = StructuredRestrictor(
             St=St_op, tv=tv, fine_grid_p=grid_p, coarse_grid=coarse_grid,
-            coarse_grid_p=coarse_grid_p, stride=stride, center=stride // 2)
+            coarse_grid_p=coarse_grid_p, stride=strides, center=centers)
         pre = _smoother_wrap(pre_key, pre_arr)
         post = _smoother_wrap(post_key, post_arr)
         npad_lvl = int(np.prod(grid_p))
@@ -792,7 +876,7 @@ def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
             A=A_p, P=P, R=R, pre=pre, post=post, n=npad_lvl,
             n_pad=npad_lvl))
         # rho stays a DEVICE scalar — float() it lazily if you need it
-        infos.append({"level": i, "n": npad_lvl,
+        infos.append({"level": i, "n": npad_lvl, "strides": strides,
                       "ndiags": A_p.ndiags, "rho_D_inv_A": rho})
 
     nc = int(np.prod(cur_grid))

@@ -194,3 +194,43 @@ def test_ns_pinv_matches_numpy():
                            [0, -1, 2, -1], [0, 0, -1, 2]])
     Xs = np.asarray(_ns_pinv(jnp.asarray(As)))
     np.testing.assert_allclose(As @ Xs @ As, As, atol=1e-9)
+
+
+def test_semicoarsening_anisotropic_diffusion():
+    """stride='auto' reads the stencil anisotropy and semicoarsens:
+    grid-aligned anisotropic diffusion (eps=1e-3) drops from a ~0.93
+    isotropic-stride factor to <0.25, with the plan switching to full
+    coarsening once the aspect has evened out (1/h^2 law).  Directional
+    smoothing keeps the per-level stencil bounded (ndiags <= 9)."""
+    from pyamg_tpu.gallery import diffusion_stencil_2d, stencil_grid
+
+    S = diffusion_stencil_2d(epsilon=1e-3, theta=0.0, type="FD")
+    g = (128, 128)
+    A = stencil_grid(S, g).tocsr()
+    ds = device_sa_setup(A, grid=g, max_coarse=400, dtype=jnp.float64,
+                         stride="auto")
+    strides = [i["strides"] for i in ds.setup_info["levels"]]
+    assert strides[0] == (1, 3)          # weak y-coupling: coarsen x only
+    assert all(i["ndiags"] <= 9 for i in ds.setup_info["levels"])
+    b = np.random.default_rng(0).random(A.shape[0])
+    res = []
+    x = ds.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res)
+    factor = (res[-1] / res[0]) ** (1.0 / (len(res) - 1))
+    assert factor < 0.25
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+
+
+def test_explicit_per_dim_strides():
+    """Explicit per-dim stride tuples are honored and converge."""
+    from pyamg_tpu.gallery import diffusion_stencil_2d, stencil_grid
+
+    S = diffusion_stencil_2d(epsilon=1e-3, theta=0.0, type="FD")
+    g = (48, 48)
+    A = stencil_grid(S, g).tocsr()
+    ds = device_sa_setup(A, grid=g, max_coarse=200, dtype=jnp.float64,
+                         stride=(1, 3))
+    assert ds.setup_info["levels"][0]["strides"] == (1, 3)
+    b = np.random.default_rng(1).random(A.shape[0])
+    res = []
+    x = ds.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res)
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
