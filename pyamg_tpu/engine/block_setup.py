@@ -79,7 +79,8 @@ def _bspgemm(A: _BDia, B: _BDia, keep=None) -> _BDia:
             if keep is not None and oc not in keep:
                 continue
             term = jnp.einsum("npq,nqr->npr", a,
-                              jnp.roll(B.data[db], -oa, axis=0))
+                              jnp.roll(B.data[db], -oa, axis=0),
+                              precision=lax.Precision.HIGHEST)
             acc[oc] = acc[oc] + term if oc in acc else term
     offsets = tuple(sorted(acc.keys()))
     return _BDia(data=jnp.stack([acc[o] for o in offsets]),
@@ -153,7 +154,8 @@ def _spd_inv_small(D):
     blocks — padding — invert to zero)."""
     L = _chol_small(D)
     Li = _tri_inv_small(L)
-    return jnp.einsum("nki,nkj->nij", Li, Li)
+    return jnp.einsum("nki,nkj->nij", Li, Li,
+                      precision=lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +207,8 @@ def _fit_candidates_gram(B, grid_p, stride, dtype):
     li_f = _broadcast_ch(li_fields, coarse_grid, stride,
                          stride // 2).reshape(m, m, -1)    # [i, j, node]
     # Qv[n, c, j] = sum_i B[n, c, i] * LinvT[agg(n), i, j]
-    Qv = jnp.einsum("nci,ijn->ncj", B, li_f).astype(dtype)
+    Qv = jnp.einsum("nci,ijn->ncj", B, li_f,
+                    precision=lax.Precision.HIGHEST).astype(dtype)
     # coarse candidates: Bc[a, i, j] = (L^T)[a, i, j] = L[a, j, i]
     Bc = jnp.swapaxes(L, -1, -2).astype(dtype)
     return Qv, Bc
@@ -309,8 +312,8 @@ def _block_power_rho(A: BlockDIAMatrix, Dinv, iters=40):
     bs = A.bs
 
     def dapply(w):
-        return jnp.einsum("nij,nj->ni", Dinv,
-                          w.reshape(-1, bs)).reshape(-1)
+        from .relaxation import _block_apply
+        return _block_apply(Dinv, w.reshape(-1, bs)).reshape(-1)
 
     def body(_, v):
         w = dapply(A @ v)
@@ -380,7 +383,10 @@ class BlockStructuredProlongator:
             chans.append(_broadcast_coarse(v, self.coarse_grid,
                                            self.stride, self.center))
         t = jnp.stack(chans, axis=-1)                   # (nb_fine, m)
-        y = jnp.einsum("ncj,nj->nc", self.Qv, t).reshape(-1)
+        cols = [t[:, j] for j in range(m)]
+        y = jnp.stack(
+            [sum(self.Qv[:, c, j] * cols[j] for j in range(m))
+             for c in range(self.Qv.shape[1])], axis=1).reshape(-1)
         return self.S @ y
 
 
@@ -459,7 +465,8 @@ def _coarsen_level_block(A_p: BlockDIAMatrix, B, grid_p, stride, center,
     rho = _block_power_rho(A_p, Dinv)
     # S = I - (omega/rho) D^-1 A  (block row-scaled A + identity bump)
     scale = -(omega / jnp.where(rho == 0, 1, rho))
-    s_data = scale * jnp.einsum("nij,dnjk->dnik", Dinv, A_p.data)
+    s_data = scale * jnp.einsum("nij,dnjk->dnik", Dinv, A_p.data,
+                                precision=lax.Precision.HIGHEST)
     valid = (jnp.einsum("nii->n", jnp.abs(Dblk)) > 0)
     eye_b = valid[:, None, None] * jnp.eye(bs, dtype=s_data.dtype)
     if 0 in A_p.offsets:

@@ -172,6 +172,18 @@ def masked_jacobi(dinv, masks, iters_per_mask, omega=1.0, iterations=1):
         arrays=(dinv,) + tuple(masks))
 
 
+def _block_apply(Dinv, r2):
+    """(n, bs, bs) @ (n, bs) batched, UNROLLED over the static bs as
+    elementwise mul-adds — tiny batched einsum dots can lower through
+    MXU passes with degraded precision on TPU (f64 emulation is only
+    f32-accurate); the unrolled form is exact and pure VPU."""
+    bs = r2.shape[1]
+    cols = [r2[:, j] for j in range(bs)]
+    return jnp.stack(
+        [sum(Dinv[:, i, j] * cols[j] for j in range(bs))
+         for i in range(bs)], axis=1)
+
+
 def _fit_len(v, n):
     """Slice/zero-pad a padded vector to length n (format paddings of
     rmatvec outputs can differ from the level's row padding)."""
@@ -219,7 +231,7 @@ def apply_smoother(config, arrays, A, x, b):
         bs = Dinv.shape[1]
         for _ in range(iterations):
             r = (b - (A @ x)).reshape(-1, bs)
-            x = x + omega * jnp.einsum("nij,nj->ni", Dinv, r).reshape(-1)
+            x = x + omega * _block_apply(Dinv, r).reshape(-1)
         return x
 
     if kind == "mcgs":
@@ -246,7 +258,7 @@ def apply_smoother(config, arrays, A, x, b):
 
         def one_color(x, c):
             r = (b - (A @ x)).reshape(-1, bs)
-            upd = x.reshape(-1, bs) + jnp.einsum("nij,nj->ni", Dinv, r)
+            upd = x.reshape(-1, bs) + _block_apply(Dinv, r)
             return jnp.where((colors == c)[:, None], upd,
                              x.reshape(-1, bs)).reshape(-1)
 
@@ -289,7 +301,7 @@ def apply_smoother(config, arrays, A, x, b):
         bs = Dinv.shape[1]
         for _ in range(iterations):
             r = (b - (A @ x)).reshape(-1, bs)
-            x = x + omega * jnp.einsum("nij,nj->ni", Dinv, r).reshape(-1)
+            x = x + omega * _block_apply(Dinv, r).reshape(-1)
         return x
 
     if kind == "poly_dyn":

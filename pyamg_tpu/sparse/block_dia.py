@@ -75,26 +75,41 @@ class BlockDIAMatrix:
         return self.data.dtype
 
     def matvec(self, x):
-        xb = x.reshape(self.nb_pad, self.bs)
-        y = jnp.einsum("nij,nj->ni", self.data[0],
-                       jnp.roll(xb, -self.offsets[0], axis=0))
-        for d in range(1, len(self.offsets)):
-            y = y + jnp.einsum("nij,nj->ni", self.data[d],
-                               jnp.roll(xb, -self.offsets[d], axis=0))
-        return y.reshape(-1)
+        # per-block products UNROLLED over the static bs as elementwise
+        # mul-adds (pure VPU).  Not einsum: XLA lowers tiny batched dots
+        # through MXU passes whose f64 emulation is only f32-accurate on
+        # TPU (same trap as CLAUDE.md's f64 vdot rule) — the mixed-
+        # precision outer Krylov needs the f64 matvec exact.
+        bs = self.bs
+        xb = x.reshape(self.nb_pad, bs)
+        cols = [xb[:, j] for j in range(bs)]
+        out = [jnp.zeros(self.nb_pad, dtype=x.dtype) for _ in range(bs)]
+        for d, off in enumerate(self.offsets):
+            xr = [jnp.roll(c, -off) for c in cols]
+            for i in range(bs):
+                acc = out[i]
+                for j in range(bs):
+                    acc = acc + self.data[d][:, i, j] * xr[j]
+                out[i] = acc
+        return jnp.stack(out, axis=1).reshape(-1)
 
     def matmat(self, X):
-        """Y = A @ X for a column stack (n_pad, K): one rolled batched
-        einsum per diagonal instead of K per-column programs (used to
-        densify coarse block operators on device)."""
+        """Y = A @ X for a column stack (n_pad, K): unrolled elementwise
+        block products per diagonal (used to densify coarse block
+        operators on device; exact in f64 like matvec)."""
         K = X.shape[1]
-        Xb = X.reshape(self.nb_pad, self.bs, K)
-        Y = jnp.einsum("nij,njk->nik", self.data[0],
-                       jnp.roll(Xb, -self.offsets[0], axis=0))
-        for d in range(1, len(self.offsets)):
-            Y = Y + jnp.einsum("nij,njk->nik", self.data[d],
-                               jnp.roll(Xb, -self.offsets[d], axis=0))
-        return Y.reshape(-1, K)
+        bs = self.bs
+        Xb = X.reshape(self.nb_pad, bs, K)
+        out = [jnp.zeros((self.nb_pad, K), dtype=X.dtype)
+               for _ in range(bs)]
+        for d, off in enumerate(self.offsets):
+            Xr = jnp.roll(Xb, -off, axis=0)
+            for i in range(bs):
+                acc = out[i]
+                for j in range(bs):
+                    acc = acc + self.data[d][:, i, j, None] * Xr[:, j, :]
+                out[i] = acc
+        return jnp.stack(out, axis=1).reshape(-1, K)
 
     def __matmul__(self, x):
         if x.ndim != 1:
@@ -102,15 +117,22 @@ class BlockDIAMatrix:
         return self.matvec(x)
 
     def rmatvec(self, x):
-        """A.T @ x by block rolls (transpose blocks, negate offsets)."""
-        xb = x.reshape(self.nb_pad, self.bs)
-        y = jnp.zeros_like(xb)
+        """A.T @ x by block rolls (transpose blocks, negate offsets);
+        unrolled elementwise like matvec (exact f64 on TPU)."""
+        bs = self.bs
+        xb = x.reshape(self.nb_pad, bs)
+        cols = [xb[:, j] for j in range(bs)]
+        out = [jnp.zeros(self.nb_pad, dtype=x.dtype) for _ in range(bs)]
         for d, off in enumerate(self.offsets):
             # contribution of block (i, i+off): data[d,i]^T x_blk[i] to
-            # row i+off  ->  y = roll(data^T x, +off)
-            y = y + jnp.roll(
-                jnp.einsum("nji,nj->ni", self.data[d], xb), off, axis=0)
-        return y.reshape(-1)
+            # row i+off  ->  y_i = roll(sum_j data[:, j, i] * x_j, +off)
+            for i in range(bs):
+                acc = None
+                for j in range(bs):
+                    t = self.data[d][:, j, i] * cols[j]
+                    acc = t if acc is None else acc + t
+                out[i] = out[i] + jnp.roll(acc, off)
+        return jnp.stack(out, axis=1).reshape(-1)
 
     def diagonal(self):
         """Scalar diagonal as a padded vector."""
