@@ -171,3 +171,56 @@ def test_coarse_level_agglomeration():
     m = min(len(res_s), len(res_p))
     np.testing.assert_allclose(res_p[:m], res_s[:m], rtol=1e-10)
     np.testing.assert_allclose(xp, xs, atol=1e-10)
+
+
+def test_distributed_device_setup_gspmd():
+    """DISTRIBUTED SETUP: the one-program device SA setup pipeline
+    (engine/device_setup._setup_pipeline — rolls, reduce-windows, padded
+    spgemm) partitions under GSPMD when the input operator's DIA data is
+    row-sharded over the mesh: same hierarchy (f64 parity vs the
+    unsharded build), with cross-shard communication visible as
+    collectives in the compiled setup HLO.  This is the BASELINE.json:5
+    'setup-phase graph algorithms as parallel JAX primitives' subsystem
+    running sharded end-to-end."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pyamg_tpu.engine import device_sa_setup
+    from pyamg_tpu.engine.device_setup import _setup_pipeline
+    from pyamg_tpu.sparse import DIAMatrix, dia_from_stencil
+
+    g = (96, 96)
+    S = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], dtype=float)
+    A = dia_from_stencil(S, g, dtype=jnp.float64)
+
+    ds0 = device_sa_setup(A, grid=g, max_coarse=200, dtype=jnp.float64)
+    b = np.random.default_rng(0).random(int(np.prod(g)))
+    r0 = []
+    x0 = ds0.solve(b, tol=1e-10, maxiter=40, accel="cg", residuals=r0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    rows = NamedSharding(mesh, P(None, "x"))
+    A_sh = DIAMatrix(data=jax.device_put(A.data, rows), offsets=A.offsets,
+                     shape=A.shape, nnz=A.nnz)
+    ds1 = device_sa_setup(A_sh, grid=g, max_coarse=200,
+                          dtype=jnp.float64)
+    r1 = []
+    x1 = ds1.solve(b, tol=1e-10, maxiter=40, accel="cg", residuals=r1)
+
+    # identical hierarchy => identical iteration history and solution
+    assert len(r0) == len(r1)
+    np.testing.assert_allclose(r1, r0, rtol=1e-9)
+    rel = np.linalg.norm(np.asarray(x1) - np.asarray(x0)) / max(
+        np.linalg.norm(np.asarray(x0)), 1e-300)
+    assert rel < 1e-10, rel
+
+    # the sharded setup program must communicate across shards
+    key = ("jacobi", (("omega", 4.0 / 3.0),))
+    lowered = _setup_pipeline.lower(
+        A_sh,
+        plan=(((96, 96), (96, 96), (3, 3)),
+              ((32, 32), (33, 33), (3, 3))),
+        omega=4.0 / 3.0, dtype=jnp.float64, pre_key=key, post_key=key)
+    hlo = lowered.compile().as_text()
+    assert ("collective-permute" in hlo) or ("all-reduce" in hlo) or (
+        "all-gather" in hlo), "sharded setup lowered without collectives"
