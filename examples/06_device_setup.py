@@ -1,0 +1,59 @@
+"""On-device hierarchy construction: scalar, semicoarsening, and block.
+
+Three flavors of the TPU-native setup pipeline (everything — strength,
+aggregation, tentative QR, prolongation smoothing, Galerkin RAP, coarse
+pseudo-inverse — is ONE jitted XLA program; zero gathers, zero host
+round-trips):
+
+1. scalar grid stencil (2-D/3-D Poisson)           device_sa_setup
+2. anisotropic + stride='auto' SEMICOARSENING      device_sa_setup
+3. BSR + multi-candidate (elasticity, rigid-body)  device_sa_setup_block
+
+Run: python examples/06_device_setup.py
+"""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pyamg_tpu.engine import device_sa_setup, device_sa_setup_block
+from pyamg_tpu.gallery import (diffusion_stencil_2d, linear_elasticity,
+                               poisson, stencil_grid)
+
+# ---- 1. scalar Poisson ------------------------------------------------
+grid = (256, 256)
+A = poisson(grid, format="csr")
+ds = device_sa_setup(A, grid=grid, max_coarse=400)
+b = np.random.default_rng(0).random(A.shape[0])
+res = []
+x = ds.solve(b, tol=1e-5, maxiter=40, accel="cg", residuals=res)
+print(f"poisson {grid}: {len(res)-1} CG iters, "
+      f"relres {res[-1]/res[0]:.2e}")
+
+# ---- 2. grid-aligned anisotropy: automatic semicoarsening -------------
+S = diffusion_stencil_2d(epsilon=1e-3, theta=0.0, type="FD")
+A2 = stencil_grid(S, grid).tocsr()
+ds2 = device_sa_setup(A2, grid=grid, max_coarse=400, stride="auto")
+print("semicoarsening plan:",
+      [i["strides"] for i in ds2.setup_info["levels"]])
+res = []
+x2 = ds2.solve(b, tol=1e-5, maxiter=40, accel="cg", residuals=res)
+print(f"anisotropic eps=1e-3: {len(res)-1} CG iters "
+      f"(isotropic-stride aggregation stalls at rho~0.93)")
+
+# ---- 3. elasticity: BSR bs=2, three rigid-body candidates -------------
+A3, B3 = linear_elasticity((64, 64))          # left edge clamped
+ds3 = device_sa_setup_block(A3, grid=(64, 63), B=B3,
+                            mixed_precision=True)
+b3 = np.random.default_rng(1).random(A3.shape[0])
+res = []
+x3 = ds3.solve(b3, tol=1e-8, maxiter=60, accel="cg", residuals=res,
+               precision="mixed")
+true_rel = np.linalg.norm(b3 - A3 @ x3) / np.linalg.norm(b3)
+print(f"elasticity 64^2 (bs=2, m=3): {len(res)-1} mixed CG iters, "
+      f"TRUE relres {true_rel:.2e}")
+print("coarse block sizes:",
+      [getattr(l.A, "bs", None) for l in ds3.hierarchy.levels])
