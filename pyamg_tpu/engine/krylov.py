@@ -43,6 +43,27 @@ def _rtol_of(b, tol):
     return tol * jnp.where(normb == 0, 1.0, normb)
 
 
+def _hist_set(history, idx, value):
+    """history with history[idx] = value, as a where-over-iota instead of
+    a dynamic_update_slice: under vmap (batched multi-RHS solves) ``idx``
+    is per-lane, and a batched dynamic_update_slice lowers to a scatter —
+    which on this TPU both crawls and degrades the session's dispatch
+    latency (DESIGN.md rule 1).  The iota form is a tiny elementwise
+    select in both the 1-D and batched cases."""
+    iota = lax.iota(jnp.int32, history.shape[0])
+    return jnp.where(iota == idx, value.astype(history.dtype), history)
+
+
+def _freeze(active, new, old):
+    """Per-lane convergence freeze: lax.while_loop under vmap keeps
+    running the body lock-step until EVERY lane's cond is False, so each
+    state update must be masked for lanes that already converged.  In the
+    unbatched case ``active`` is True whenever the body runs (the loop
+    cond guarantees it), so this is a no-op select that XLA folds."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(active, n, o), new, old)
+
+
 def device_cg(matvec, b, x0, tol=1e-8, maxiter=100, M=None):
     """Preconditioned CG; see pyamg_tpu/krylov/_cg.py for the host form."""
     maxiter = int(maxiter)
@@ -62,20 +83,22 @@ def device_cg(matvec, b, x0, tol=1e-8, maxiter=100, M=None):
 
     def body(state):
         it, x, r, p, rz, normr, history = state
+        active = (normr >= rtol) & (it < maxiter)
         Ap = matvec(p)
         pAp = _vdot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         alpha = jnp.where(pAp == 0, 0.0, alpha)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        normr = _norm(r)
-        history = history.at[it + 1].set(normr)
-        z = precond(r)
-        rz_new = _vdot(r, z)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        x2 = x + alpha * p
+        r2 = r - alpha * Ap
+        normr2 = _norm(r2)
+        history2 = _hist_set(history, it + 1, normr2)
+        z = precond(r2)
+        rz2 = _vdot(r2, z)
+        beta = rz2 / jnp.where(rz == 0, 1.0, rz)
         beta = jnp.where(rz == 0, 0.0, beta)
-        p = z + beta * p
-        return (it + 1, x, r, p, rz_new, normr, history)
+        p2 = z + beta * p
+        return _freeze(active,
+                       (it + 1, x2, r2, p2, rz2, normr2, history2), state)
 
     state = (jnp.asarray(0), x0, r, p, rz, normr, history)
     it, x, r, p, rz, normr, history = lax.while_loop(cond, body, state)
@@ -101,6 +124,7 @@ def device_bicgstab(matvec, b, x0, tol=1e-8, maxiter=100, M=None):
 
     def body(state):
         it, x, r, p, rrstar, normr, history, breakdown = state
+        active = (normr >= rtol) & (it < maxiter) & (~breakdown)
         Mp = precond(p)
         AMp = matvec(Mp)
         denom = _vdot(rstar, AMp)
@@ -112,18 +136,19 @@ def device_bicgstab(matvec, b, x0, tol=1e-8, maxiter=100, M=None):
         denom2 = _vdot(AMs, AMs)
         bad2 = denom2 == 0
         omega = _vdot(AMs, s) / jnp.where(bad2, 1.0, denom2)
-        x = x + jnp.where(bad1 | bad2, 0.0, 1.0) * (alpha * Mp + omega * Ms)
+        x2 = x + jnp.where(bad1 | bad2, 0.0, 1.0) * (alpha * Mp + omega * Ms)
         r_new = s - omega * AMs
-        r = jnp.where(bad1 | bad2, r, r_new)
-        normr = _norm(r)
-        history = history.at[it + 1].set(normr)
-        rrstar_new = _vdot(rstar, r)
+        r2 = jnp.where(bad1 | bad2, r, r_new)
+        normr2 = _norm(r2)
+        history2 = _hist_set(history, it + 1, normr2)
+        rrstar2 = _vdot(rstar, r2)
         bad3 = (rrstar == 0) | (omega == 0)
-        beta = (rrstar_new / jnp.where(rrstar == 0, 1.0, rrstar)) * \
+        beta = (rrstar2 / jnp.where(rrstar == 0, 1.0, rrstar)) * \
                (alpha / jnp.where(omega == 0, 1.0, omega))
-        p = r + jnp.where(bad3, 0.0, beta) * (p - omega * AMp)
-        return (it + 1, x, r, p, rrstar_new, normr, history,
-                bad1 | bad2 | bad3)
+        p2 = r2 + jnp.where(bad3, 0.0, beta) * (p - omega * AMp)
+        return _freeze(active,
+                       (it + 1, x2, r2, p2, rrstar2, normr2, history2,
+                        bad1 | bad2 | bad3), state)
 
     state = (jnp.asarray(0), x0, r, p, rrstar, normr, history,
              jnp.asarray(False))
@@ -211,11 +236,9 @@ def device_fgmres(matvec, b, x0, tol=1e-8, maxiter=100, M=None, restart=30):
             g = g.at[j].set(c * g[j])
             normr_new = jnp.abs(gj1)
             active = normr >= rtol
-            history = jnp.where(
-                active,
-                history.at[it + j + 1].set(normr_new),
-                history,
-            )
+            iota = lax.iota(jnp.int32, history.shape[0])
+            history = jnp.where(active & (iota == it + j + 1),
+                                normr_new.astype(history.dtype), history)
             normr = jnp.where(active, normr_new, normr)
             V = V.at[j + 1].set(
                 jnp.where(wnorm > 0, w / jnp.where(wnorm > 0, wnorm, 1.0), 0.0)
@@ -243,8 +266,10 @@ def device_fgmres(matvec, b, x0, tol=1e-8, maxiter=100, M=None, restart=30):
 
     def body(state):
         x, history, it, normr, outer = state
-        x, history, it, normr = one_cycle(x, history, it)
-        return (x, history, it, normr, outer + 1)
+        active = (normr >= rtol) & (outer < max_outer)
+        x2, history2, it2, normr2 = one_cycle(x, history, it)
+        return _freeze(active, (x2, history2, it2, normr2, outer + 1),
+                       state)
 
     state = (x0, history, jnp.asarray(0), normr0, jnp.asarray(0))
     x, history, it, normr, outer = lax.while_loop(cond, body, state)

@@ -194,9 +194,13 @@ def _fit_len(v, n):
     return jnp.pad(v, (0, n - v.shape[0]))
 
 
+@jax.custom_batching.custom_vmap
 def _jacobi_step(A, x, b, dinv, omega):
     """One weighted-Jacobi sweep; uses the fused single-pass Pallas DIA
-    kernel on TPU (sparse/dia.py, measured ~2.8x the composed form)."""
+    kernel on TPU (sparse/dia.py, measured ~2.8x the composed form).
+    Batched (vmap) calls — the engine's multi-RHS solves — route through
+    the rule below, which applies the composed form on the (n_pad, K)
+    column stack instead of tracing the Pallas kernel under vmap."""
     from ..sparse.dia import DIAMatrix, dia_pallas_jacobi
 
     if isinstance(A, DIAMatrix):
@@ -204,6 +208,26 @@ def _jacobi_step(A, x, b, dinv, omega):
         if y is not None:
             return y
     return x + omega * (dinv * (b - (A @ x)))
+
+
+@_jacobi_step.def_vmap
+def _jacobi_step_vmap(axis_size, in_batched, A, x, b, dinv, omega):
+    A_b, x_b, b_b, dinv_b, om_b = in_batched
+    if (any(jax.tree_util.tree_leaves(A_b)) or dinv_b
+            or any(jax.tree_util.tree_leaves(om_b))):
+        raise NotImplementedError(
+            "vmap over the operator/dinv/omega of a jacobi step is not "
+            "supported; only x and b may be batched")
+
+    def cols(v, is_b):  # -> (n_pad, K) column stack
+        if is_b:
+            return jnp.moveaxis(v, 0, -1)
+        return jnp.broadcast_to(v[:, None], v.shape + (axis_size,))
+
+    X = cols(x, x_b)
+    B = cols(b, b_b)
+    Y = X + omega * (dinv[:, None] * (B - (A @ X)))
+    return jnp.moveaxis(Y, -1, 0), True
 
 
 def apply_smoother(config, arrays, A, x, b):

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 from ..sparse import pad_vector
 from .hierarchy import DeviceHierarchy, compile_hierarchy
-from .krylov import (_norm, _vdot, device_bicgstab, device_cg,
-                     device_fgmres)
+from .krylov import (_freeze, _hist_set, _norm, _vdot, device_bicgstab,
+                     device_cg, device_fgmres)
 
 __all__ = ["DeviceMultilevelSolver", "as_device_solver"]
 
@@ -109,9 +109,9 @@ class DeviceMultilevelSolver:
         self._jit_cache = {}
 
     def _get_compiled(self, cycle, accel, maxiter, restart,
-                      precision="native", amli_depth=2):
+                      precision="native", amli_depth=2, batched=False):
         key = (cycle, accel, maxiter, restart, precision, amli_depth,
-               jax.tree_util.tree_structure(self.hierarchy))
+               batched, jax.tree_util.tree_structure(self.hierarchy))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -152,16 +152,18 @@ class DeviceMultilevelSolver:
 
                 def body(state):
                     it, x, normr, history = state
+                    active = (normr >= rtol) & (it < maxiter)
                     if mixed:
                         corr = one_cycle(
                             h, jnp.zeros(x.shape, dtype=h.dtype),
                             (b - matvec(x)).astype(h.dtype)).astype(x.dtype)
-                        x = x + corr
+                        x2 = x + corr
                     else:
-                        x = one_cycle(h, x, b)
-                    normr = _norm(b - matvec(x))
-                    history = history.at[it + 1].set(normr)
-                    return (it + 1, x, normr, history)
+                        x2 = one_cycle(h, x, b)
+                    normr2 = _norm(b - matvec(x2))
+                    history2 = _hist_set(history, it + 1, normr2)
+                    return _freeze(active, (it + 1, x2, normr2, history2),
+                                   state)
 
                 it, x, normr, history = jax.lax.while_loop(
                     cond, body, (jnp.asarray(0), x0, normr, history))
@@ -184,6 +186,14 @@ class DeviceMultilevelSolver:
         else:
             raise ValueError(f"unsupported device accelerator '{accel}'")
 
+        if batched:
+            # multi-RHS: vmap the whole solve program over RHS lanes
+            # (axis 0 of b/x0).  Format applies reroute to their 2-D
+            # matmat forms via custom_vmap (sparse/dia.py, window.py), so
+            # the batch runs as fused (n_pad, K) passes — one A read
+            # amortized over K right-hand sides; Krylov bodies self-freeze
+            # converged lanes (engine/krylov.py::_freeze).
+            run = jax.vmap(run, in_axes=(None, 0, 0, None))
         fn = jax.jit(run)
         self._jit_cache[key] = fn
         return fn
@@ -203,11 +213,21 @@ class DeviceMultilevelSolver:
         solution feeds further device computation — the D2H pull of a
         multi-million-unknown solution can cost seconds through a relay
         link and is pure overhead if the result stays on device.
-        ``b``/``x0`` may likewise be device arrays (no host staging)."""
+        ``b``/``x0`` may likewise be device arrays (no host staging).
+
+        **Batched multi-RHS** (the SURVEY.md §2.5 data-parallel analog):
+        ``b`` of shape (n, K) solves K systems in ONE compiled program —
+        the solve is vmapped over RHS lanes, SpMV/transfer applies fuse
+        into (n_pad, K) passes (one operator read amortized over K), and
+        each lane stops at its own convergence point (converged lanes
+        freeze while others iterate).  Returns x of shape (n, K);
+        ``residuals`` receives a list of K per-lane history arrays."""
         h = self.hierarchy
         n = h.levels[0].n
         n_pad = h.levels[0].n_pad
         dtype = jnp.float64 if precision == "mixed" else h.dtype
+        b_in = b if isinstance(b, jnp.ndarray) else np.asarray(b)
+        batched = b_in.ndim == 2
 
         def _stage(v):
             if isinstance(v, jnp.ndarray):
@@ -215,13 +235,41 @@ class DeviceMultilevelSolver:
             return pad_vector(jnp.asarray(np.asarray(v).ravel(),
                                           dtype=dtype), n_pad)
 
-        b_dev = _stage(b)
-        x0_dev = (jnp.zeros(n_pad, dtype=dtype) if x0 is None
-                  else _stage(x0))
+        def _stage_cols(v):
+            # (n, K) column stack -> (K, n_pad) vmap lanes
+            if not isinstance(v, jnp.ndarray):
+                v = jnp.asarray(np.asarray(v), dtype=dtype)
+            v = v.astype(dtype)
+            if v.shape[0] < n_pad:
+                v = jnp.pad(v, ((0, n_pad - v.shape[0]), (0, 0)))
+            return v.T
+
+        if batched:
+            b_dev = _stage_cols(b_in)
+            x0_dev = (jnp.zeros(b_dev.shape, dtype=dtype) if x0 is None
+                      else _stage_cols(x0))
+        else:
+            b_dev = _stage(b)
+            x0_dev = (jnp.zeros(n_pad, dtype=dtype) if x0 is None
+                      else _stage(x0))
         fn = self._get_compiled(str(cycle).upper(), accel, int(maxiter),
-                                int(restart), precision, int(amli_depth))
+                                int(restart), precision, int(amli_depth),
+                                batched=batched)
         rdtype = np.zeros((), dtype=np.dtype(dtype)).real.dtype
         x, history, it = fn(h, b_dev, x0_dev, jnp.asarray(tol, dtype=rdtype))
+        if batched:
+            x = x[:, :n].T if device_out else np.asarray(x)[:, :n].T
+            hists = [hl[~np.isnan(hl)]
+                     for hl in np.real(np.asarray(history))]
+            if residuals is not None:
+                residuals[:] = hists
+            if return_info:
+                normb = np.linalg.norm(np.asarray(b_dev), axis=1)
+                conv = [len(hl) >= 1
+                        and hl[-1] < tol * max(float(nb), 1e-300)
+                        for hl, nb in zip(hists, normb)]
+                return x, (0 if all(conv) else int(np.max(np.asarray(it))))
+            return x
         x = x[:n] if device_out else np.asarray(x)[:n]
         hist = np.real(np.asarray(history))
         hist = hist[~np.isnan(hist)]

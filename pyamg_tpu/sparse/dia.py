@@ -81,6 +81,13 @@ class DIAMatrix:
         return self.data.dtype
 
     def matvec(self, x):
+        """y = A @ x (1-D padded x).  Routed through a custom_vmap entry:
+        under jax.vmap (the engine's batched multi-RHS solves) the batch
+        rule applies ``matmat`` on the column stack instead of tracing
+        the Pallas kernel with a batching transform it does not have."""
+        return _dia_matvec_cv(self, x)
+
+    def _matvec_impl(self, x):
         B = _fused_block(self.data, self.offsets, x)
         if B is not None:
             return _dia_pallas_matvec(self.data, self.offsets, x, B)
@@ -113,11 +120,24 @@ class DIAMatrix:
         j = i + off[d], i.e. y = sum_d roll(data[d] * x, +off[d]); padded
         and out-of-range slots hold zero, so wrap-around terms vanish.
         Powers the device NE/NR (Kaczmarz/Cimmino-form) smoothers.
+        Batched (vmap) calls route to :meth:`rmatmat`.
         """
+        return _dia_rmatvec_cv(self, x)
+
+    def _rmatvec_impl(self, x):
         y = jnp.roll(self.data[0] * x, self.offsets[0])
         for d in range(1, len(self.offsets)):
             y = y + jnp.roll(self.data[d] * x, self.offsets[d])
         return y
+
+    def rmatmat(self, X):
+        """A.T @ X for a column stack (n_pad, K) — rmatvec broadcast over
+        the trailing RHS axis."""
+        Y = jnp.roll(self.data[0][:, None] * X, self.offsets[0], axis=0)
+        for d in range(1, len(self.offsets)):
+            Y = Y + jnp.roll(self.data[d][:, None] * X, self.offsets[d],
+                             axis=0)
+        return Y
 
     def __matmul__(self, x):
         if x.ndim == 1:
@@ -128,6 +148,50 @@ class DIAMatrix:
         if 0 in self.offsets:
             return self.data[self.offsets.index(0)]
         return jnp.zeros(self.n_pad, dtype=self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap entry points: batched multi-RHS solves vmap the whole solve
+# program over the RHS axis; these rules reroute the per-lane SpMV to the
+# 2-D matmat/rmatmat forms (rolled, gather-free) so the Pallas kernels —
+# which have no batching rule — are never traced under vmap, and the
+# batched work runs as one fused pass over (n_pad, K) instead of K
+# separate programs.
+# ---------------------------------------------------------------------------
+
+def _cv_unbatched_operator(in_batched_A, name):
+    if any(jax.tree_util.tree_leaves(in_batched_A)):
+        raise NotImplementedError(
+            f"vmap over the {name} operator itself is not supported; "
+            "only the vector operand may be batched")
+
+
+@jax.custom_batching.custom_vmap
+def _dia_matvec_cv(A, x):
+    return A._matvec_impl(x)
+
+
+@_dia_matvec_cv.def_vmap
+def _dia_matvec_rule(axis_size, in_batched, A, x):
+    del axis_size
+    A_b, x_b = in_batched
+    _cv_unbatched_operator(A_b, "DIA")
+    assert x_b, "rule invoked with no batched operand"
+    return jnp.moveaxis(A.matmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
+
+
+@jax.custom_batching.custom_vmap
+def _dia_rmatvec_cv(A, x):
+    return A._rmatvec_impl(x)
+
+
+@_dia_rmatvec_cv.def_vmap
+def _dia_rmatvec_rule(axis_size, in_batched, A, x):
+    del axis_size
+    A_b, x_b = in_batched
+    _cv_unbatched_operator(A_b, "DIA")
+    assert x_b, "rule invoked with no batched operand"
+    return jnp.moveaxis(A.rmatmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
 
 
 # ---------------------------------------------------------------------------

@@ -117,6 +117,12 @@ class WindowedELL:
         return x
 
     def matvec(self, x):
+        """Routed through a custom_vmap entry: batched (vmap) calls apply
+        matmat on the column stack — the Pallas kernel has no batching
+        rule and must never be traced under vmap."""
+        return _windowed_matvec_cv(self, x)
+
+    def _matvec_impl(self, x):
         if (jax.default_backend() == "tpu" and pltpu is not None
                 and self.block % 128 == 0 and self.w2 % 1024 == 0):
             return self._matvec_pallas(x)
@@ -299,7 +305,11 @@ class WindowedELL:
 
     def rmatvec(self, x):
         """A.T @ x: Pallas transpose kernel on TPU, scatter-add fallback
-        elsewhere (CPU tests / VMEM-oversized outputs)."""
+        elsewhere (CPU tests / VMEM-oversized outputs).  Batched (vmap)
+        calls route to :meth:`rmatmat`."""
+        return _windowed_rmatvec_cv(self, x)
+
+    def _rmatvec_impl(self, x):
         if (jax.default_backend() == "tpu" and pltpu is not None
                 and self._can_transpose_pallas()):
             return self._rmatvec_pallas(x)
@@ -318,7 +328,12 @@ class WindowedELL:
         Batched RHS go through per-column matvecs (static unroll): the
         Pallas kernel's window streaming is per-vector; XLA batches the
         resulting programs.  Covers the engine's batched-RHS solves."""
-        cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
+        cols = [self._matvec_impl(X[:, j]) for j in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)
+
+    def rmatmat(self, X):
+        """A.T @ X per-column (static unroll over the RHS axis)."""
+        cols = [self._rmatvec_impl(X[:, j]) for j in range(X.shape[1])]
         return jnp.stack(cols, axis=1)
 
     def __matmul__(self, x):
@@ -393,6 +408,48 @@ class TransposedWindowed:
         if x.ndim != 1:
             return self.matmat(x)
         return self.matvec(x)
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap entry points (see sparse/dia.py): batched multi-RHS solves
+# vmap the solve program over the RHS axis; these rules reroute per-lane
+# windowed applies to the per-column matmat/rmatmat unrolls so the Pallas
+# kernels are never traced under a vmap transform.
+# ---------------------------------------------------------------------------
+
+def _cv_unbatched_operator(in_batched_A):
+    if any(jax.tree_util.tree_leaves(in_batched_A)):
+        raise NotImplementedError(
+            "vmap over the windowed operator itself is not supported; "
+            "only the vector operand may be batched")
+
+
+@jax.custom_batching.custom_vmap
+def _windowed_matvec_cv(A, x):
+    return A._matvec_impl(x)
+
+
+@_windowed_matvec_cv.def_vmap
+def _windowed_matvec_rule(axis_size, in_batched, A, x):
+    del axis_size
+    A_b, x_b = in_batched
+    _cv_unbatched_operator(A_b)
+    assert x_b, "rule invoked with no batched operand"
+    return jnp.moveaxis(A.matmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
+
+
+@jax.custom_batching.custom_vmap
+def _windowed_rmatvec_cv(A, x):
+    return A._rmatvec_impl(x)
+
+
+@_windowed_rmatvec_cv.def_vmap
+def _windowed_rmatvec_rule(axis_size, in_batched, A, x):
+    del axis_size
+    A_b, x_b = in_batched
+    _cv_unbatched_operator(A_b)
+    assert x_b, "rule invoked with no batched operand"
+    return jnp.moveaxis(A.rmatmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
 
 
 def windowed_from_scipy(A, dtype=jnp.float32, block=None, max_w2=16384):
