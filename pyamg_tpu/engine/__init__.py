@@ -7,6 +7,8 @@ MultilevelSolver.
 
 from .block_setup import (BlockStructuredProlongator,
                           BlockStructuredRestrictor, device_sa_setup_block)
+from .classical_setup import (EmbeddedProlongator, EmbeddedRestrictor,
+                              device_rs_setup)
 from .device_setup import StructuredDeviceSolver, device_sa_setup
 from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
 from .krylov import device_bicgstab, device_cg, device_fgmres
@@ -20,8 +22,11 @@ __all__ = [
     "device_bicgstab",
     "device_cg",
     "device_fgmres",
+    "device_rs_setup",
     "device_sa_setup",
     "device_sa_setup_block",
+    "EmbeddedProlongator",
+    "EmbeddedRestrictor",
     "BlockStructuredProlongator",
     "BlockStructuredRestrictor",
     "DeviceMultilevelSolver",
