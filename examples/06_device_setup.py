@@ -1,13 +1,16 @@
-"""On-device hierarchy construction: scalar, semicoarsening, and block.
+"""On-device hierarchy construction: SA (scalar/semicoarsening/block)
+and the classical family (Ruge-Stüben + AIR).
 
-Three flavors of the TPU-native setup pipeline (everything — strength,
-aggregation, tentative QR, prolongation smoothing, Galerkin RAP, coarse
+Five flavors of the TPU-native setup pipeline (everything — strength,
+splitting/aggregation, interpolation, Galerkin RAP, coarse
 pseudo-inverse — is ONE jitted XLA program; zero gathers, zero host
 round-trips):
 
 1. scalar grid stencil (2-D/3-D Poisson)           device_sa_setup
 2. anisotropic + stride='auto' SEMICOARSENING      device_sa_setup
 3. BSR + multi-candidate (elasticity, rigid-body)  device_sa_setup_block
+4. classical RS (multi-pass direct interpolation)  device_rs_setup
+5. AIR on upwind advection (near-exact reduction)  device_air_setup
 
 Run: python examples/06_device_setup.py
 """
@@ -19,9 +22,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from pyamg_tpu.engine import device_sa_setup, device_sa_setup_block
-from pyamg_tpu.gallery import (diffusion_stencil_2d, linear_elasticity,
-                               poisson, stencil_grid)
+from pyamg_tpu.engine import (device_air_setup, device_rs_setup,
+                              device_sa_setup, device_sa_setup_block)
+from pyamg_tpu.gallery import (advection_2d, diffusion_stencil_2d,
+                               linear_elasticity, poisson, stencil_grid)
 
 # ---- 1. scalar Poisson ------------------------------------------------
 grid = (256, 256)
@@ -57,3 +61,20 @@ print(f"elasticity 64^2 (bs=2, m=3): {len(res)-1} mixed CG iters, "
       f"TRUE relres {true_rel:.2e}")
 print("coarse block sizes:",
       [getattr(l.A, "bs", None) for l in ds3.hierarchy.levels])
+
+# ---- 4. classical Ruge-Stüben (multi-pass direct interpolation) -------
+ds4 = device_rs_setup(A2, grid=grid, max_coarse=400)    # aniso again
+print("RS semicoarsening plan:",
+      [i["strides"] for i in ds4.setup_info["levels"]])
+res = []
+x4 = ds4.solve(b, tol=1e-6, maxiter=40, accel="cg", residuals=res)
+print(f"classical RS anisotropic: {len(res)-1} CG iters, "
+      f"relres {res[-1]/res[0]:.2e}")
+
+# ---- 5. AIR: one-point P + degree-2 local ideal restriction -----------
+A5, rhs5 = advection_2d(grid, theta=np.pi / 4)
+ds5 = device_air_setup(A5, grid=grid, max_coarse=400)
+res = []
+x5 = ds5.solve(rhs5, tol=1e-8, maxiter=20, residuals=res)
+print(f"AIR advection: first cycle drops residual "
+      f"{res[0]/max(res[1], 1e-300):.1e}x (near-exact reduction)")

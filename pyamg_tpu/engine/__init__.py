@@ -8,7 +8,7 @@ MultilevelSolver.
 from .block_setup import (BlockStructuredProlongator,
                           BlockStructuredRestrictor, device_sa_setup_block)
 from .classical_setup import (EmbeddedProlongator, EmbeddedRestrictor,
-                              device_rs_setup)
+                              device_air_setup, device_rs_setup)
 from .device_setup import StructuredDeviceSolver, device_sa_setup
 from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
 from .krylov import device_bicgstab, device_cg, device_fgmres
@@ -22,6 +22,7 @@ __all__ = [
     "device_bicgstab",
     "device_cg",
     "device_fgmres",
+    "device_air_setup",
     "device_rs_setup",
     "device_sa_setup",
     "device_sa_setup_block",

@@ -70,7 +70,8 @@ from .device_setup import (StructuredDeviceSolver, _compact_dia,
                            _spec_key, _tup, dia_transpose)
 from .hierarchy import DeviceHierarchy, DeviceLevel
 
-__all__ = ["device_rs_setup", "EmbeddedProlongator", "EmbeddedRestrictor"]
+__all__ = ["device_rs_setup", "device_air_setup", "EmbeddedProlongator",
+           "EmbeddedRestrictor"]
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +343,357 @@ def _rs_setup_pipeline(A_in, *, plan, dtype, pre_key, post_key):
     Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
     coarse_inv = _ns_pinv(Ac_dense)
     return tuple(out_levels), Ac_dense, coarse_inv
+
+
+# ---------------------------------------------------------------------------
+# AIR: one-point prolongation + local approximate ideal restriction
+# ---------------------------------------------------------------------------
+
+def _pass_onepoint(A_p: DIAMatrix, fmask, tmask, dtype):
+    """One one-point-interpolation pass as an embedded DIA operator.
+
+    Pass rows place a SINGLE 1 at their strongest target neighbor
+    (|a_ij| max, first-wins tie break) — the structured form of [R]
+    pyamg/classical/interpolate.py::one_point_interpolation (SURVEY.md
+    §2.2 AIR row): P carries values, R does the work."""
+    offs = [o for o in A_p.offsets if o != 0]
+    scores = []
+    for o in offs:
+        d = A_p.offsets.index(o)
+        ind = jnp.roll(tmask, -o)
+        scores.append(jnp.where(ind, jnp.abs(A_p.data[d]), 0.0))
+    smax = scores[0]
+    for s in scores[1:]:
+        smax = jnp.maximum(smax, s)
+    rows = []
+    offsets = []
+    taken = jnp.zeros_like(fmask)        # first-wins tie break
+    for o, s in zip(offs, scores):
+        win = fmask & (~taken) & (s > 0) & (s == smax)
+        taken = taken | win
+        offsets.append(o)
+        rows.append(jnp.where(win, 1.0, 0.0).astype(dtype))
+    offsets.append(0)
+    rows.append(jnp.where(fmask, 0.0, 1.0).astype(dtype))
+    order = np.argsort(offsets)
+    n = A_p.n_pad
+    return DIAMatrix(data=jnp.stack([rows[i] for i in order]),
+                     offsets=tuple(int(offsets[i]) for i in order),
+                     shape=(n, n), nnz=n * len(offsets))
+
+
+def _unrolled_solve(M, b, eps=1e-30):
+    """Batched k×k dense solve, UNROLLED Gaussian elimination (no
+    pivoting — the AIR neighborhoods are diagonally dominant;
+    zero/missing pivots are guarded to identity rows).  Pure elementwise
+    VPU ops: tiny batched einsum/LU dots lower through reduced-precision
+    MXU passes on TPU (CLAUDE.md precision trap), and jnp.linalg.solve
+    lowers to gather-heavy batched LU.  Device analog of [R]
+    pyamg/amg_core/air.h approx_ideal_restriction_pass2's per-row
+    ``gelss``-style local solves (SURVEY.md §2.4)."""
+    k = b.shape[1]
+    rows = [[M[:, i, j] for j in range(k)] for i in range(k)]
+    rhs = [b[:, i] for i in range(k)]
+    pivs = []
+    for p in range(k):
+        piv = rows[p][p]
+        ok = jnp.abs(piv) > eps
+        piv = jnp.where(ok, piv, 1.0)
+        pivs.append(piv)
+        # zero out the row (and rhs) when the pivot is missing
+        rhs[p] = jnp.where(ok, rhs[p], 0.0)
+        for j in range(p + 1, k):
+            rows[p][j] = jnp.where(ok, rows[p][j], 0.0)
+        inv = 1.0 / piv
+        for i in range(p + 1, k):
+            f = rows[i][p] * inv
+            for j in range(p + 1, k):
+                rows[i][j] = rows[i][j] - f * rows[p][j]
+            rhs[i] = rhs[i] - f * rhs[p]
+    x = [None] * k
+    for p in range(k - 1, -1, -1):
+        acc = rhs[p]
+        for j in range(p + 1, k):
+            acc = acc - rows[p][j] * x[j]
+        x[p] = acc / pivs[p]
+    return jnp.stack(x, axis=1)
+
+
+def _air_slots(A_p: DIAMatrix, grid_p, degree, span_cap=2):
+    """Neighborhood slot offsets for local AIR of the given degree:
+    distance-1 stencil offsets, plus (degree 2) their pairwise sums —
+    the F points reachable through one F-F connection ([R]
+    pyamg/classical/interpolate.py::local_air degree semantics).
+    Per-dim spans are capped at ``span_cap`` so the neighborhood (and
+    with it the coarse stencil) stays bounded level over level."""
+    offs1 = [o for o in A_p.offsets if o != 0]
+    slots = list(offs1)
+    if degree >= 2:
+        for oa in offs1:
+            for ob in offs1:
+                oc = oa + ob
+                if oc == 0 or oc in slots:
+                    continue
+                try:
+                    coords = _offset_to_coords(oc, grid_p)
+                except ValueError:
+                    continue
+                if all(abs(c) <= span_cap for c in coords):
+                    slots.append(oc)
+    return slots
+
+
+def _local_air_restriction(A_p: DIAMatrix, cmask, grid_p, dtype,
+                           degree=2):
+    """Local AIR as an embedded DIA operator.
+
+    For every C point c with F-neighbor slots {c+o_p} (distance ≤ degree
+    through the stencil graph, landing on F points), solve the local
+    ideal-restriction system
+
+        A_ff(N,N)^T r = -A_cf(c, N)^T,   R[c, c] = 1, R[c, c+o_p] = r_p
+
+    ([R] pyamg/classical/interpolate.py::local_air +
+    amg_core/air.h approx_ideal_restriction_pass2, SURVEY.md §2.2/2.4).
+    Every quantity assembles by rolls: A[c+o_p, c+o_q] is diagonal
+    (o_q - o_p) rolled by -o_p; missing couplings are stored zeros.
+    On pure upwind advection with stride-2 splitting the F-F chains have
+    depth 2, so the degree-2 neighborhood captures A_ff^{-1} EXACTLY and
+    the two-level reduction is exact — the reference's signature
+    behavior."""
+    offs = _air_slots(A_p, grid_p, degree)
+    k = len(offs)
+    dlook = {o: d for d, o in enumerate(A_p.offsets)}
+    diag = A_p.diagonal()
+    fmask_any = ~cmask
+    # slot validity: the neighbor exists (its diagonal is nonzero — real
+    # row) and is an F point
+    valid = []
+    for o in offs:
+        valid.append(jnp.roll(fmask_any & (diag != 0), -o))
+    # M[:, p, q] = A[x+o_p, x+o_q] for rows x (only C rows used)
+    Mcols = []
+    for p, op in enumerate(offs):
+        row = []
+        for q, oq in enumerate(offs):
+            rel = oq - op
+            if p == q:
+                a = jnp.roll(diag, -op)
+            elif rel in dlook:
+                a = jnp.roll(A_p.data[dlook[rel]], -op)
+            else:
+                a = jnp.zeros_like(diag)
+            a = jnp.where(valid[p] & valid[q], a, 0.0)
+            # missing slot -> identity row (guarded pivot keeps r_p = 0)
+            if p == q:
+                a = jnp.where(valid[p], a, 1.0)
+            row.append(a)
+        Mcols.append(row)
+    # transpose the local system: solve A_ff^T r = -A_cf^T
+    Mt = jnp.stack([jnp.stack([Mcols[q][p] for q in range(k)], axis=1)
+                    for p in range(k)], axis=1)          # (n, k, k), M^T
+    zero = jnp.zeros_like(diag)
+    rhs = jnp.stack(
+        [jnp.where(valid[p],
+                   -A_p.data[dlook[op]] if op in dlook else zero, 0.0)
+         for p, op in enumerate(offs)], axis=1)          # -A_cf row
+    r = _unrolled_solve(Mt, rhs)
+    n = A_p.n_pad
+    rows = []
+    offsets = []
+    for p, op in enumerate(offs):
+        offsets.append(op)
+        rows.append(jnp.where(cmask & (diag != 0), r[:, p],
+                              0.0).astype(dtype))
+    offsets.append(0)
+    rows.append(jnp.where(cmask & (diag != 0), 1.0, 0.0).astype(dtype))
+    order = np.argsort(offsets)
+    return DIAMatrix(data=jnp.stack([rows[i] for i in order]),
+                     offsets=tuple(int(offsets[i]) for i in order),
+                     shape=(n, n), nnz=n * len(offsets))
+
+
+def _air_coarsen_level(A_p: DIAMatrix, grid_p, stride, center, dtype,
+                       degree=2):
+    """One device AIR coarsening step: one-point P, local AIR R,
+    nonsymmetric (R ≠ P^T) Galerkin triple product.  The RAP span is
+    capped at 2 coarse cells per dim (the degree-2 R reach) — the
+    structured analog of the reference's strength-theta truncation of
+    R/A_c ([R] pyamg/classical/air.py theta/degree controls), keeping
+    the coarse stencil bounded level over level."""
+    masks, n_passes = _oddness_masks(grid_p, stride, center)
+    cmask = masks[0]
+    ss = _tup(stride, len(grid_p))
+    a_span = [0] * len(grid_p)
+    for o in A_p.offsets:
+        for d, c in enumerate(_offset_to_coords(o, grid_p)):
+            a_span[d] = max(a_span[d], abs(c))
+    p_bound = tuple(a if s > 1 else 0 for a, s in zip(a_span, ss))
+    n = A_p.n_pad
+    P_emb = DIAMatrix(
+        data=jnp.where(cmask, 1.0, 0.0).astype(dtype)[None, :],
+        offsets=(0,), shape=(n, n), nnz=n)
+    tmask = cmask
+    for m in range(1, n_passes + 1):
+        S_m = _pass_onepoint(A_p, masks[m], tmask, dtype)
+        P_emb = _dia_spgemm_filtered(
+            S_m, P_emb, _span_filter(S_m, P_emb, grid_p, p_bound))
+        tmask = tmask | masks[m]
+    R_emb = _local_air_restriction(A_p, cmask, grid_p, dtype,
+                                   degree=degree)
+    rap_bound = tuple(2 * s if s > 1 else a for s, a in zip(ss, a_span))
+    AP = _dia_spgemm_filtered(
+        A_p, P_emb, _span_filter(A_p, P_emb, grid_p, rap_bound))
+    cand = set()
+    for oa in R_emb.offsets:
+        for ob in AP.offsets:
+            oc = oa + ob
+            try:
+                coords = _offset_to_coords(oc, grid_p)
+            except ValueError:
+                continue
+            if all(c % s == 0 and abs(c) <= b
+                   for c, s, b in zip(coords, ss, rap_bound)):
+                cand.add(oc)
+    Ac_emb = _dia_spgemm_filtered(R_emb, AP, cand)
+    A_c = _compact_dia(Ac_emb, grid_p, stride, center)
+    return P_emb, R_emb, A_c, cmask
+
+
+@partial(jax.jit, static_argnames=("plan", "dtype", "f_iterations",
+                                   "c_iterations", "omega", "degree"))
+def _air_setup_pipeline(A_in, *, plan, dtype, f_iterations, c_iterations,
+                        omega, degree):
+    """The ENTIRE multi-level AIR setup as ONE XLA program."""
+    del omega  # static, bound host-side into the smoother config
+    cur = A_in
+    out_levels = []
+    for (grid, grid_p, strides) in plan:
+        center = tuple(0 for _ in strides)
+        A_p = _relayout_dia(cur, grid, grid_p)
+        P_emb, R_emb, A_c, cmask = _air_coarsen_level(
+            A_p, grid_p, strides, center, dtype, degree=degree)
+        diag = A_p.diagonal()
+        dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
+        fmask = (~cmask) & (diag != 0)
+        cmask_r = cmask & (diag != 0)
+        out_levels.append((A_p, P_emb, R_emb, dinv, fmask, cmask_r))
+        cur = A_c
+    Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
+    coarse_inv = _ns_pinv(Ac_dense)
+    return tuple(out_levels), Ac_dense, coarse_inv
+
+
+def device_air_setup(A, grid, dtype=jnp.float32, stride=2,
+                     max_coarse=400, max_levels=4, degree=2,
+                     f_iterations=2, c_iterations=1, omega=1.0,
+                     mixed_precision=False):
+    """Build an AIR (approximate ideal restriction) hierarchy ON DEVICE
+    for a grid-stencil operator — the nonsymmetric classical family.
+
+    Device companion of ``air_solver`` ([R] pyamg/classical/air.py,
+    SURVEY.md §2.2 — the fork owner's signature algorithm): one-point
+    prolongation (strongest-neighbor routing through the parity passes),
+    degree-1 local AIR restriction via batched UNROLLED dense
+    neighborhood solves (pure VPU — no gathers, no reduced-precision MXU
+    passes), nonsymmetric Galerkin R·A·P, and the reference's
+    F-then-C Jacobi post-smoothing (device ``masked_jacobi``).
+
+    Defaults mirror the reference: postsmoother fc_jacobi with
+    ``f_iterations=2, c_iterations=1``, no presmoother.  Use
+    ``accel='fgmres'`` or ``'bicgstab'`` (nonsymmetric) when solving.
+
+    **Depth guidance (measured):** the fixed-lattice splitting keeps the
+    degree-2 restriction near-exact for ≤3 coarsenings (256² advection:
+    first V-cycle drops the residual 1.6e6x with ``max_levels=4``); at
+    4+ coarsenings the truncated local solves on the Galerkin coarse
+    operators degrade (9.7x/cycle at ``max_levels=5`` — the reference's
+    RS splitting adapts its C/F pattern to the flow, a lattice cannot).
+    Hence ``max_levels=4`` by default: the ≤8k-point coarsest solves
+    exactly through the dense MXU pseudo-inverse.  For deeper
+    hierarchies use ``cycle='W'`` + ``accel='fgmres'`` (measured 150x/
+    W-cycle at depth 5) or the host ``air_solver``.
+    """
+    if jnp.dtype(dtype).itemsize == 8:
+        jax.config.update("jax_enable_x64", True)
+    grid = tuple(int(g) for g in grid)
+    dim = len(grid)
+    n = int(np.prod(grid))
+    if sp.issparse(A) or isinstance(A, np.ndarray):
+        if A.shape[0] != n:
+            raise ValueError(f"grid {grid} does not match A {A.shape}")
+        A_dia = dia_from_scipy(sp.csr_matrix(A), dtype=dtype, row_pad=1)
+    elif isinstance(A, DIAMatrix):
+        A_dia = A
+    else:
+        raise TypeError("A must be scipy sparse or DIAMatrix")
+
+    plan = []
+    cur_grid = grid
+    while int(np.prod(cur_grid)) > max_coarse and len(plan) < max_levels - 1:
+        strides = _tup(stride, dim)
+        grid_p = _padded_grid(cur_grid, strides)
+        if not all(gp >= 3 * s for gp, s in zip(grid_p, strides) if s > 1):
+            break
+        plan.append((cur_grid, grid_p, strides))
+        cur_grid = tuple(g // s for g, s in zip(grid_p, strides))
+    if not plan:
+        raise ValueError(
+            f"grid {grid} is below the coarsening threshold "
+            f"(max_coarse={max_coarse}); use the host setup path")
+    nlev = len(plan)
+
+    out_levels, Ac_dense, coarse_inv = _air_setup_pipeline(
+        A_dia, plan=tuple(plan), dtype=dtype,
+        f_iterations=int(f_iterations), c_iterations=int(c_iterations),
+        omega=float(omega), degree=int(degree))
+
+    dev_levels = []
+    infos = []
+    for i, ((lv_grid, grid_p, strides),
+            (A_p, P_emb, R_emb, dinv, fmask, cmask_r)) in enumerate(
+                zip(plan, out_levels)):
+        centers = tuple(0 for _ in strides)
+        coarse_grid = tuple(g // s for g, s in zip(grid_p, strides))
+        coarse_grid_p = (plan[i + 1][1] if i + 1 < nlev else coarse_grid)
+        P = EmbeddedProlongator(
+            P_emb=P_emb, fine_grid_p=grid_p, coarse_grid=coarse_grid,
+            coarse_grid_p=coarse_grid_p, stride=strides, center=centers)
+        R = EmbeddedRestrictor(
+            R_emb=R_emb, fine_grid_p=grid_p, coarse_grid=coarse_grid,
+            coarse_grid_p=coarse_grid_p, stride=strides, center=centers)
+        # reference AIR: presmoother None, postsmoother fc_jacobi
+        pre = device_relaxation.identity()
+        post = device_relaxation.masked_jacobi(
+            dinv, (fmask, cmask_r),
+            iters_per_mask=(int(f_iterations), int(c_iterations)),
+            omega=float(omega))
+        npad_lvl = int(np.prod(grid_p))
+        dev_levels.append(DeviceLevel(
+            A=A_p, P=P, R=R, pre=pre, post=post, n=npad_lvl,
+            n_pad=npad_lvl))
+        infos.append({"level": i, "n": npad_lvl, "strides": strides,
+                      "ndiags": A_p.ndiags})
+
+    nc = int(np.prod(cur_grid))
+    ident = device_relaxation.identity()
+    Ac_op = DenseOperator(data=Ac_dense, shape=(nc, nc), nnz=nc * nc)
+    dev_levels.append(DeviceLevel(A=Ac_op, P=None, R=None, pre=ident,
+                                  post=ident, n=nc, n_pad=nc))
+
+    A64 = None
+    if mixed_precision:
+        jax.config.update("jax_enable_x64", True)
+        A64_dia = dia_from_scipy(sp.csr_matrix(A), dtype=jnp.float64,
+                                 row_pad=1)
+        A64 = _relayout_jit(A64_dia, grid=grid, grid_p=plan[0][1])
+
+    hier = DeviceHierarchy(levels=dev_levels, coarse_inv=coarse_inv,
+                           nc=nc, nc_pad=nc, dtype=dtype, A64=A64)
+    return StructuredDeviceSolver(
+        hier, grid, plan[0][1],
+        setup_info={"levels": infos, "nlevels": nlev + 1,
+                    "family": "air"})
 
 
 # ---------------------------------------------------------------------------
