@@ -14,7 +14,8 @@ import json
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["save_hierarchy", "load_hierarchy"]
+__all__ = ["save_hierarchy", "load_hierarchy",
+           "save_device_solver", "load_device_solver"]
 
 
 def _pack_csr(prefix, M, out):
@@ -117,3 +118,68 @@ def load_hierarchy(path):
         posts.append(tuple(spec["post"]) if spec["post"] else None)
     change_smoothers(ml, pres, posts)
     return ml
+
+
+# ---------------------------------------------------------------------------
+# device solver serialization (round-2 cont.)
+# ---------------------------------------------------------------------------
+
+def save_device_solver(ds, path):
+    """Serialize a built DEVICE solver (DeviceMultilevelSolver /
+    StructuredDeviceSolver) to a single file.
+
+    Production pattern: the setup phase runs once (host or on-device
+    pipeline), the compiled hierarchy is checkpointed, and serving
+    processes ``load_device_solver`` it straight onto their accelerator —
+    no re-setup, no scipy re-conversion.  Implementation: the hierarchy
+    is a registered JAX pytree of arrays + static aux, so it pickles
+    after pulling every leaf to host numpy (one D2H sweep at save time).
+
+    The format is pickle: load only files you trust (same caveat as
+    torch.save checkpoints).
+    """
+    import pickle
+
+    import jax
+
+    from ..engine.device_setup import StructuredDeviceSolver
+
+    host_hier = jax.tree_util.tree_map(np.asarray, ds.hierarchy)
+    payload = {"format": "pyamg_tpu-device-solver-v1",
+               "hierarchy": host_hier}
+    if isinstance(ds, StructuredDeviceSolver):
+        payload["structured"] = {
+            "grid": tuple(ds.grid),
+            "grid_p": tuple(ds.grid_p),
+            "setup_info": jax.tree_util.tree_map(np.asarray,
+                                                 ds.setup_info),
+        }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_device_solver(path):
+    """Load a device solver saved with :func:`save_device_solver`,
+    staging every hierarchy leaf back onto the default device."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.device_setup import StructuredDeviceSolver
+    from ..engine.solver import DeviceMultilevelSolver
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("format") != "pyamg_tpu-device-solver-v1":
+        raise ValueError(f"{path} is not a pyamg_tpu device-solver file")
+    # f64 leaves require x64 before staging (else silent downcast)
+    leaves = jax.tree_util.tree_leaves(payload["hierarchy"])
+    if any(np.asarray(leaf).dtype == np.float64 for leaf in leaves):
+        jax.config.update("jax_enable_x64", True)
+    hier = jax.tree_util.tree_map(jnp.asarray, payload["hierarchy"])
+    info = payload.get("structured")
+    if info is not None:
+        return StructuredDeviceSolver(hier, info["grid"], info["grid_p"],
+                                      setup_info=info["setup_info"])
+    return DeviceMultilevelSolver(hier)

@@ -246,3 +246,37 @@ def test_hierarchy_roundtrip_classical(tmp_path):
     ml.solve(b, tol=1e-8, maxiter=15, residuals=r1)
     ml2.solve(b, tol=1e-8, maxiter=15, residuals=r2)
     np.testing.assert_allclose(r1, r2, rtol=1e-10)
+
+
+def test_device_solver_roundtrip(tmp_path):
+    """save_device_solver/load_device_solver: the production checkpoint
+    path — setup once, serve from the file.  Round-trip must be bitwise
+    (the hierarchy pytree's leaves are moved host<->device unchanged)."""
+    import pyamg_tpu
+    from pyamg_tpu.engine import compile_hierarchy, device_sa_setup
+    from pyamg_tpu.engine.solver import DeviceMultilevelSolver
+    from pyamg_tpu.gallery import poisson
+    from pyamg_tpu.util.serialize import (load_device_solver,
+                                          save_device_solver)
+
+    A = poisson((32, 32), format="csr")
+    b = np.random.default_rng(0).random(A.shape[0])
+
+    ml = pyamg_tpu.smoothed_aggregation_solver(A)
+    dml = DeviceMultilevelSolver(compile_hierarchy(ml,
+                                                   mixed_precision=True))
+    x0 = dml.solve(b, tol=1e-9, maxiter=60, accel="cg", precision="mixed")
+    p = tmp_path / "dml.pkl"
+    save_device_solver(dml, p)
+    x1 = load_device_solver(p).solve(b, tol=1e-9, maxiter=60, accel="cg",
+                                     precision="mixed")
+    assert np.max(np.abs(x0 - x1)) == 0.0
+
+    ds = device_sa_setup(A, grid=(32, 32), max_coarse=60)
+    y0 = ds.solve(b, tol=1e-5, maxiter=40, accel="cg")
+    p2 = tmp_path / "ds.pkl"
+    save_device_solver(ds, p2)
+    ds2 = load_device_solver(p2)
+    assert ds2.grid == (32, 32)
+    y1 = ds2.solve(b, tol=1e-5, maxiter=40, accel="cg")
+    assert np.max(np.abs(y0 - y1)) == 0.0
