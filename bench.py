@@ -208,6 +208,23 @@ def main(grid=(2048, 2048), verbose=False):
         jax, jnp, lambda o, v: one_cycle_ds(o, jnp.zeros_like(v), v),
         h_ds, b_ds, k=64)
 
+    # --- batched multi-RHS (round-2 cont.): K lanes through one vmapped
+    # cycle; SpMV/transfer applies fuse to (n_pad, K) passes, so the
+    # operator read is amortized over K right-hand sides ---
+    note("config1: batched multi-RHS cycle...")
+    K = 8
+    one_cycle_b = jax.vmap(
+        lambda o, v: one_cycle(o, jnp.zeros_like(v), v), in_axes=(None, 0))
+    bK = jnp.asarray(np.random.default_rng(7).random((K, n_pad)),
+                     dtype=jnp.float32)
+    t_cycle_K = _chained_time(jax, jnp, one_cycle_b, h, bK, k=32)
+    batched = {
+        "K": K,
+        "t_vcycle_per_rhs_ms": round(t_cycle_K / K * 1e3, 3),
+        "amortization_vs_single": round(t_cycle * K / t_cycle_K, 2),
+        "work_gnnz_s": round(cycle_nnz * K / t_cycle_K / 1e9, 4),
+    }
+
     detail["config1"] = {
         "problem": "2D 5-pt Poisson %dx%d, SA V-cycle + CG, Jacobi" % grid,
         "n": A.shape[0], "nnz_finest": int(A.nnz),
@@ -225,6 +242,7 @@ def main(grid=(2048, 2048), verbose=False):
         "t_vcycle_device_setup_ms": round(t_cycle_ds * 1e3, 3),
         "vcycle_device_setup_work_gnnz_s": round(
             cycle_nnz / t_cycle_ds / 1e9, 4),
+        "batched_rhs": batched,
     }
 
     # ================= config 2: 3D Poisson 64^3, SA + sym GS, W ========
@@ -288,6 +306,21 @@ def main(grid=(2048, 2048), verbose=False):
     res_ds3 = []
     dsa3.solve(b3, tol=1e-5, maxiter=60, accel="cg", residuals=res_ds3)
 
+    # device CLASSICAL setup (round-2 cont., engine/classical_setup.py):
+    # multi-pass direct interpolation RS hierarchy built on device
+    note("config3: classical device setup path...")
+    from pyamg_tpu.engine import device_rs_setup
+    drs3 = device_rs_setup(A3, grid=(512, 512), dtype=jnp.float32,
+                           max_coarse=400)
+    float(drs3.hierarchy.coarse_inv[0, 0])
+    t0 = time.perf_counter()
+    drs3 = device_rs_setup(A3, grid=(512, 512), dtype=jnp.float32,
+                           max_coarse=400)
+    float(drs3.hierarchy.coarse_inv[0, 0])
+    t_rs_setup3 = time.perf_counter() - t0
+    res_rs3 = []
+    drs3.solve(b3, tol=1e-5, maxiter=60, accel="cg", residuals=res_rs3)
+
     detail["config3"] = {
         "problem": "rotated anisotropic diffusion 512^2 (eps=1e-3), "
                    "classical RS + GMRES",
@@ -297,6 +330,8 @@ def main(grid=(2048, 2048), verbose=False):
         "device_setup_strides": [
             list(i["strides"]) for i in dsa3.setup_info["levels"]],
         "device_setup_cg_iters_to_1e-5": len(res_ds3) - 1,
+        "classical_device_setup_s": round(t_rs_setup3, 3),
+        "classical_device_cg_iters_to_1e-5": len(res_rs3) - 1,
     }
     _mixed.append(("config3", ml3, b3, dict(tol=1e-8, maxiter=60,
                                             accel="gmres")))
@@ -363,6 +398,28 @@ def main(grid=(2048, 2048), verbose=False):
     }
     _mixed.append(("config5", ml5, b5, dict(tol=1e-8, maxiter=100,
                                             accel="bicgstab")))
+
+    # ===== AIR: device nonsymmetric classical on upwind advection =======
+    note("air: device AIR setup on advection 256^2...")
+    from pyamg_tpu.engine import device_air_setup
+    from pyamg_tpu.gallery import advection_2d
+    Aair, bair = advection_2d((256, 256), theta=np.pi / 4)
+    dair = device_air_setup(Aair, grid=(256, 256), max_coarse=400)
+    float(dair.hierarchy.coarse_inv[0, 0])
+    t0 = time.perf_counter()
+    dair = device_air_setup(Aair, grid=(256, 256), max_coarse=400)
+    float(dair.hierarchy.coarse_inv[0, 0])
+    t_air_setup = time.perf_counter() - t0
+    res_air = []
+    dair.solve(bair, tol=1e-8, maxiter=5, residuals=res_air)
+    detail["air"] = {
+        "problem": "upwind advection 256^2 (theta=pi/4), device AIR "
+                   "(one-point P + degree-2 local ideal restriction)",
+        "setup_device_s": round(t_air_setup, 3),
+        "first_cycle_residual_drop": (
+            round(res_air[0] / res_air[1], 1) if len(res_air) > 1
+            and res_air[1] else None),
+    }
 
     # ============ phase B: x64 mixed-precision time-to-1e-8 =============
     # (f32 V-cycle preconditioner + f64 outer Krylov, fully on device —

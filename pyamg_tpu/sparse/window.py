@@ -323,13 +323,92 @@ class WindowedELL:
         return y.at[gidx].add(self.data * xb)
 
     def matmat(self, X):
-        """Y = A @ X for a padded column stack X (m_pad, k).
+        """Y = A @ X for a padded column stack X (m_pad, K).
 
-        Batched RHS go through per-column matvecs (static unroll): the
-        Pallas kernel's window streaming is per-vector; XLA batches the
-        resulting programs.  Covers the engine's batched-RHS solves."""
-        cols = [self._matvec_impl(X[:, j]) for j in range(X.shape[1])]
+        On TPU with small K the fused multi-RHS kernel streams the
+        operator's data/idx from HBM ONCE for all K lanes (the
+        per-column form re-reads them K times — the dominant traffic for
+        transfer operators); otherwise per-column matvecs (static
+        unroll).  Covers the engine's batched-RHS solves."""
+        K = X.shape[1]
+        if (jax.default_backend() == "tpu" and pltpu is not None
+                and self.block % 128 == 0 and self.w2 % 1024 == 0
+                and 2 <= K <= 16
+                # window VMEM: 2 half-window specs x double buffering x
+                # K lanes x w2 f32 elements
+                and 16 * K * self.w2 <= 4 * 2**20):
+            return self._matmat_pallas(X)
+        cols = [self._matvec_impl(X[:, j]) for j in range(K)]
         return jnp.stack(cols, axis=1)
+
+    def _matmat_pallas(self, X, interpret=False):
+        """Fused multi-RHS forward kernel: the v2 matvec geometry with K
+        window stacks resident per grid step.  The lane one-hot is
+        SHARED across lanes — stage 1 becomes one (K·H, 128)×(128,
+        BLOCK) MXU contraction (larger and better-utilized than K
+        separate (H, 128) dots), and data/idx HBM traffic is paid once
+        per block instead of once per block per RHS."""
+        need = self.m_chunks * self.w2
+        if X.shape[0] < need:
+            X = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
+        elif X.shape[0] > need:
+            X = X[:need]
+        n_blocks, k, BLOCK = self.data.shape
+        K = X.shape[1]
+        H2 = self.w2 // _LANES
+        H = 2 * H2
+        X3 = X.T.reshape(K, self.m_chunks * H2, _LANES)
+        dtype = self.data.dtype
+        cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
+        def kernel(starts_ref, data_ref, idx_ref, xa_ref, xb_ref, y_ref):
+            xw = jnp.concatenate([xa_ref[...], xb_ref[...]],
+                                 axis=1)                      # (K, H, 128)
+            xw2 = xw.reshape(K * H, _LANES).astype(cdtype)
+            lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
+            chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
+            xws = _split3_bf16(xw2) if cdtype == jnp.float32 else None
+            acc = jnp.zeros((K, BLOCK), dtype=cdtype)
+            for s in range(k):                      # static unroll
+                idx_s = idx_ref[0, s:s + 1, :]      # (1, BLOCK) packed
+                hi_s = lax.shift_right_logical(idx_s, np.int32(7))
+                lo_s = jnp.bitwise_and(idx_s, np.int32(127))
+                if xws is not None:
+                    OHl = (lane_iota == lo_s).astype(jnp.bfloat16)
+                    C = sum(jnp.dot(p, OHl,
+                                    preferred_element_type=jnp.float32)
+                            for p in xws)                 # (K*H, BLOCK)
+                else:
+                    OHl = (lane_iota == lo_s).astype(cdtype)
+                    C = jnp.dot(xw2, OHl, preferred_element_type=cdtype,
+                                precision=lax.Precision.HIGHEST)
+                C3 = C.reshape(K, H, BLOCK)
+                sel = (chunk_iota == hi_s)                # (H, BLOCK)
+                v = jnp.sum(jnp.where(sel[None, :, :], C3, 0), axis=1)
+                acc = acc + v * data_ref[0, s:s + 1, :].astype(cdtype)
+            y_ref[0] = acc.astype(dtype)
+
+        z = np.int32(0)
+        one = np.int32(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((K, H2, _LANES), lambda b, s: (z, s[b], z)),
+                pl.BlockSpec((K, H2, _LANES),
+                             lambda b, s: (z, s[b] + one, z)),
+            ],
+            out_specs=pl.BlockSpec((1, K, BLOCK), lambda b, s: (b, z, z)),
+        )
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_blocks, K, BLOCK), dtype),
+            interpret=interpret,
+        )(self.starts, self.data, self.idx, X3, X3)
+        return jnp.moveaxis(y, 1, 2).reshape(-1, K)
 
     def rmatmat(self, X):
         """A.T @ X per-column (static unroll over the RHS axis)."""

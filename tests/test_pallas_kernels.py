@@ -76,6 +76,22 @@ def test_windowed_v2_forward_interpret(block):
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("K", [2, 8])
+def test_windowed_fused_matmat_interpret(K):
+    """Fused multi-RHS forward kernel == scipy A @ X: the (K·H, 128)
+    shared-one-hot contraction and the per-lane chunk select must agree
+    with the per-column reference for every lane."""
+    P = _random_rect(4096, 1500, per_row=3, spread=40, seed=7)
+    W = windowed_from_scipy(P, block=256)
+    assert W is not None
+    X = jnp.asarray(
+        np.random.default_rng(8).random((W.m_chunks * W.w2, K)),
+        dtype=jnp.float32)
+    want = P @ np.asarray(X)[: P.shape[1]]
+    got = np.asarray(W._matmat_pallas(X, interpret=True))[: P.shape[0]]
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+
 def test_windowed_transpose_interpret():
     """Transpose kernel (restriction path) == scipy A.T @ r, exercising
     the VMEM-resident accumulation across overlapping windows."""
