@@ -727,13 +727,26 @@ class StructuredDeviceSolver(DeviceMultilevelSolver):
         self.setup_info = setup_info or {}
 
     def _encode(self, v):
-        v = np.asarray(v).reshape(self.grid)
+        """Grid-pad a vector — or an (n, K) column stack (the batched
+        multi-RHS path) — to the padded-grid layout."""
+        v = np.asarray(v)
+        if v.ndim == 2:
+            K = v.shape[1]
+            v = v.reshape(self.grid + (K,))
+            pads = [(0, gp - g)
+                    for g, gp in zip(self.grid, self.grid_p)] + [(0, 0)]
+            return np.pad(v, pads).reshape(-1, K)
+        v = v.reshape(self.grid)
         pads = [(0, gp - g) for g, gp in zip(self.grid, self.grid_p)]
         return np.pad(v, pads).reshape(-1)
 
     def _decode(self, v):
-        v = np.asarray(v).reshape(self.grid_p)
+        v = np.asarray(v)
         sl = tuple(slice(0, g) for g in self.grid)
+        if v.ndim == 2:
+            K = v.shape[1]
+            return v.reshape(self.grid_p + (K,))[sl].reshape(-1, K)
+        v = v.reshape(self.grid_p)
         return v[sl].reshape(-1)
 
     def solve(self, b, x0=None, **kw):

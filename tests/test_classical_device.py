@@ -259,10 +259,8 @@ def test_batched_rs_solve():
     ds = device_rs_setup(A, grid=grid, max_coarse=60)
     n = A.shape[0]
     B = np.random.default_rng(4).random((n, 2))
-    # StructuredDeviceSolver encodes grid vectors; go through the
-    # underlying DeviceMultilevelSolver for the batched contract
-    from pyamg_tpu.engine.solver import DeviceMultilevelSolver
-    dml = DeviceMultilevelSolver(ds.hierarchy)
-    X = dml.solve(B, tol=1e-6, maxiter=40, accel="cg")
+    # StructuredDeviceSolver grid-encodes (n, K) column stacks directly
+    X = ds.solve(B, tol=1e-6, maxiter=40, accel="cg")
+    assert X.shape == (n, 2)
     r = np.linalg.norm(B - A @ X, axis=0) / np.linalg.norm(B, axis=0)
     assert (r < 1e-4).all(), r
