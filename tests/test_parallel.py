@@ -224,3 +224,51 @@ def test_distributed_device_setup_gspmd():
     hlo = lowered.compile().as_text()
     assert ("collective-permute" in hlo) or ("all-reduce" in hlo) or (
         "all-gather" in hlo), "sharded setup lowered without collectives"
+
+
+def test_distributed_classical_setup_gspmd():
+    """DISTRIBUTED SETUP, classical family: the device RS pipeline
+    (engine/classical_setup._rs_setup_pipeline — parity masks, pass
+    operators, filtered spgemm) partitions under GSPMD exactly like the
+    SA pipeline: sharding the input DIA data yields the identical
+    hierarchy (f64 parity) with cross-shard collectives in the HLO."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pyamg_tpu.engine import device_rs_setup
+    from pyamg_tpu.engine.classical_setup import _rs_setup_pipeline
+    from pyamg_tpu.sparse import DIAMatrix, dia_from_stencil
+
+    g = (64, 64)
+    S = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], dtype=float)
+    A = dia_from_stencil(S, g, dtype=jnp.float64)
+
+    ds0 = device_rs_setup(A, grid=g, max_coarse=200, dtype=jnp.float64)
+    b = np.random.default_rng(0).random(int(np.prod(g)))
+    r0 = []
+    x0 = ds0.solve(b, tol=1e-10, maxiter=40, accel="cg", residuals=r0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    rows = NamedSharding(mesh, P(None, "x"))
+    A_sh = DIAMatrix(data=jax.device_put(A.data, rows), offsets=A.offsets,
+                     shape=A.shape, nnz=A.nnz)
+    ds1 = device_rs_setup(A_sh, grid=g, max_coarse=200,
+                          dtype=jnp.float64)
+    r1 = []
+    x1 = ds1.solve(b, tol=1e-10, maxiter=40, accel="cg", residuals=r1)
+
+    assert len(r0) == len(r1)
+    np.testing.assert_allclose(r1, r0, rtol=1e-9)
+    rel = np.linalg.norm(np.asarray(x1) - np.asarray(x0)) / max(
+        np.linalg.norm(np.asarray(x0)), 1e-300)
+    assert rel < 1e-10, rel
+
+    key = ("jacobi", (("omega", 4.0 / 3.0),))
+    lowered = _rs_setup_pipeline.lower(
+        A_sh,
+        plan=(((64, 64), (64, 64), (2, 2)),
+              ((32, 32), (32, 32), (2, 2))),
+        dtype=jnp.float64, pre_key=key, post_key=key)
+    hlo = lowered.compile().as_text()
+    assert ("collective-permute" in hlo) or ("all-reduce" in hlo) or (
+        "all-gather" in hlo), "sharded RS setup lowered without collectives"
