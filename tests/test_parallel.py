@@ -272,3 +272,43 @@ def test_distributed_classical_setup_gspmd():
     hlo = lowered.compile().as_text()
     assert ("collective-permute" in hlo) or ("all-reduce" in hlo) or (
         "all-gather" in hlo), "sharded RS setup lowered without collectives"
+
+
+def test_distributed_block_setup_gspmd():
+    """DISTRIBUTED SETUP, block family: sharding the BlockDIA input of
+    the device block setup (elasticity bs=2, rigid-body candidates)
+    yields the identical hierarchy (f64 parity vs the unsharded build)
+    with collectives in the compiled pipeline HLO."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pyamg_tpu.engine import device_sa_setup_block
+    from pyamg_tpu.gallery import linear_elasticity
+    from pyamg_tpu.sparse import BlockDIAMatrix, block_dia_from_scipy
+
+    A, B = linear_elasticity((24, 24))
+    grid = (24, 23)
+    A_bd = block_dia_from_scipy(A.tobsr(), dtype=jnp.float64)
+    assert A_bd is not None
+
+    ds0 = device_sa_setup_block(A_bd, grid=grid, B=B, dtype=jnp.float64,
+                                max_coarse=120)
+    b = np.random.default_rng(0).random(A.shape[0])
+    r0 = []
+    x0 = ds0.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=r0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    sh = NamedSharding(mesh, P(None, "x", None, None))
+    A_sh = BlockDIAMatrix(data=jax.device_put(A_bd.data, sh),
+                          offsets=A_bd.offsets, shape=A_bd.shape,
+                          bs=A_bd.bs, nnz=A_bd.nnz)
+    ds1 = device_sa_setup_block(A_sh, grid=grid, B=B, dtype=jnp.float64,
+                                max_coarse=120)
+    r1 = []
+    x1 = ds1.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=r1)
+
+    assert len(r0) == len(r1)
+    np.testing.assert_allclose(r1, r0, rtol=1e-9)
+    rel = np.linalg.norm(np.asarray(x1) - np.asarray(x0)) / max(
+        np.linalg.norm(np.asarray(x0)), 1e-300)
+    assert rel < 1e-10, rel
