@@ -142,3 +142,23 @@ def test_windowed_matmat_rmatmat_vs_scipy():
     Xf = rng.random((W.n_pad, 3))
     Yt = np.asarray(W.rmatmat(jnp.asarray(Xf)))
     np.testing.assert_allclose(Yt[:80], P.T @ Xf[:300], rtol=1e-13)
+
+
+def test_batched_gmres_multi_restart(poisson_dml):
+    """Multiple GMRES restarts under vmap: the outer while_loop freeze
+    must keep early-converging lanes intact across later restarts."""
+    A, dml = poisson_dml
+    n = A.shape[0]
+    rng = np.random.default_rng(9)
+    B = np.stack([rng.random(n), np.zeros(n), rng.random(n)], axis=1)
+    res_b = []
+    Xb = dml.solve(B, tol=1e-6, maxiter=24, accel="gmres", restart=4,
+                   residuals=res_b)
+    assert len(res_b[1]) == 1              # zero lane froze at entry
+    for j in (0, 2):
+        res1 = []
+        x1 = dml.solve(B[:, j], tol=1e-6, maxiter=24, accel="gmres",
+                       restart=4, residuals=res1)
+        assert abs(len(res_b[j]) - len(res1)) <= 1
+        dx = np.max(np.abs(Xb[:, j] - x1)) / np.max(np.abs(x1))
+        assert dx < 3e-5, (j, dx)
