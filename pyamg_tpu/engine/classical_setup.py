@@ -55,19 +55,18 @@ import scipy.sparse as sp
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..sparse import DIAMatrix, dia_from_scipy
-from ..sparse.dia import DenseOperator, dia_spgemm
+from ..sparse.dia import DenseOperator
 from . import relaxation as device_relaxation
 from .device_setup import (StructuredDeviceSolver, _compact_dia,
-                           _compact_fine, _coords_to_offset,
-                           _dia_spgemm_filtered, _embed_coarse,
-                           _grid_pad_vec, _grid_unpad_vec, _ns_pinv,
-                           _offset_to_coords, _padded_grid, _power_rho,
-                           _relayout_dia, _relayout_jit,
-                           _smoother_device_arrays, _smoother_wrap,
-                           _spec_key, _tup, dia_transpose)
+                           _compact_fine, _dia_spgemm_filtered,
+                           _embed_coarse, _grid_pad_vec,
+                           _grid_unpad_vec, _ns_pinv, _offset_to_coords,
+                           _padded_grid, _power_rho, _relayout_dia,
+                           _relayout_jit, _smoother_device_arrays,
+                           _smoother_wrap, _spec_key, _tup,
+                           dia_transpose)
 from .hierarchy import DeviceHierarchy, DeviceLevel
 
 __all__ = ["device_rs_setup", "device_air_setup", "EmbeddedProlongator",
