@@ -282,6 +282,35 @@ class DeviceMultilevelSolver:
             return x, (0 if converged else int(it))
         return x
 
+    # -- host-parity introspection (MultilevelSolver counterparts) -----
+
+    def operator_complexity(self):
+        """sum(nnz per level) / nnz(finest) — the host
+        MultilevelSolver.operator_complexity over the device formats'
+        (structural) nnz counters."""
+        nnzs = [int(lvl.A.nnz) for lvl in self.hierarchy.levels]
+        return sum(nnzs) / max(nnzs[0], 1)
+
+    def grid_complexity(self):
+        ns = [int(lvl.n) for lvl in self.hierarchy.levels]
+        return sum(ns) / max(ns[0], 1)
+
+    def __repr__(self):
+        lines = [f"DeviceMultilevelSolver "
+                 f"({jnp.dtype(self.hierarchy.dtype).name}, "
+                 f"{len(self.hierarchy.levels)} levels"
+                 + (", mixed-precision A64" if self.hierarchy.A64
+                    is not None else "") + ")",
+                 f"  operator complexity: "
+                 f"{self.operator_complexity():.3f}",
+                 f"  grid complexity:     {self.grid_complexity():.3f}",
+                 "  level    unknowns      nnz   format"]
+        for i, lvl in enumerate(self.hierarchy.levels):
+            fmt = type(lvl.A).__name__
+            lines.append(f"  {i:>5} {int(lvl.n):>11} {int(lvl.A.nnz):>8}"
+                         f"   {fmt}")
+        return "\n".join(lines)
+
     def cycle_operator(self, cycle="V", amli_depth=2):
         """Jitted one-cycle application: r (padded) -> M r (padded)."""
         one_cycle = _make_cycle(len(self.hierarchy.levels),

@@ -400,3 +400,20 @@ def test_device_elasticity_block_dia_path():
     assert np.linalg.norm(b - A @ xd) / np.linalg.norm(b) < 1e-7
     # multicolor block GS vs sequential block GS: factor parity band
     assert abs(len(res_d) - len(res_h)) <= 6, (len(res_d), len(res_h))
+
+
+def test_device_solver_repr_and_complexity():
+    """Host-parity introspection: __repr__ table + operator/grid
+    complexity on the device pytree's structural counters."""
+    import pyamg_tpu
+    from pyamg_tpu.engine import as_device_solver
+    from pyamg_tpu.gallery import poisson
+
+    A = poisson((64, 64), format="csr")
+    ml = pyamg_tpu.smoothed_aggregation_solver(A)
+    dml = as_device_solver(ml)
+    oc = dml.operator_complexity()
+    assert 1.0 < oc < 2.5
+    assert 1.0 < dml.grid_complexity() < 2.0
+    text = repr(dml)
+    assert "operator complexity" in text and "DIAMatrix" in text
