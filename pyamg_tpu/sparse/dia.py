@@ -108,6 +108,18 @@ class DIAMatrix:
         return y
 
     def matmat(self, X):
+        """Y = A @ X for a column stack (n_pad, K).
+
+        On TPU with small K the fused multi-RHS kernel streams x-blocks
+        and the diagonal data from HBM once for all K lanes (the rolled
+        XLA form re-reads X once per diagonal: traffic ~nd·(1+K)·n vs
+        the kernel's ~(nd+3K)·n).  Falls back to the rolled form
+        elsewhere (CPU, f64/complex, K large, bands too wide)."""
+        K = X.shape[1]
+        if 2 <= K <= 16:
+            B = _fused_block_k(self.data, self.offsets, X, K)
+            if B is not None:
+                return _dia_pallas_matmat(self.data, self.offsets, X, B)
         Y = self.data[0][:, None] * jnp.roll(X, -self.offsets[0], axis=0)
         for d in range(1, len(self.offsets)):
             Y = Y + self.data[d][:, None] * jnp.roll(X, -self.offsets[d], axis=0)
@@ -240,6 +252,84 @@ def _dia_shifted(xcat, off, B, R, lane):
     t = xcat[q:q + R + 1]
     a = pltpu.roll(t, np.int32(128 - r), axis=1)  # i32: x64 would make i64
     return jnp.where(lane < 128 - r, a[:R], a[1:R + 1])
+
+
+def _fused_block_k(data, offsets, X, K):
+    """Block size for the fused multi-RHS DIA kernel, or None.
+
+    Same ladder as _fused_block with the VMEM budget scaled for K
+    resident x/y lane blocks (3 double-buffered x specs + the output)."""
+    if pltpu is None or jax.default_backend() != "tpu":
+        return None
+    if X.ndim != 2:
+        return None
+    ok = (jnp.float32, jnp.bfloat16)
+    if jnp.dtype(data.dtype) not in ok or jnp.dtype(X.dtype) not in ok:
+        return None
+    n_pad = data.shape[1]
+    if n_pad % 128 != 0 or X.shape[0] != n_pad or n_pad < 65536:
+        return None
+    nd = data.shape[0]
+    max_off = max(max(offsets), -min(offsets), 1)
+    min_R = 16 if jnp.bfloat16 in (data.dtype, X.dtype) else 8
+    for B in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
+        if (n_pad % B == 0 and B >= max_off and B >= 128 * min_R
+                and (nd + 8 * K + 2) * B * 4 <= 10 * 2**20
+                and n_pad // B <= 1024):
+            return B
+    return None
+
+
+def _dia_shifted_k(xcat, off, B, R, lane):
+    """Per-lane shifted view of (K, 3R, 128) halo-extended x blocks —
+    _dia_shifted with a leading lane axis (same shift every lane)."""
+    q, r = divmod(B + off, 128)
+    if r == 0:
+        return xcat[:, q:q + R]
+    t = xcat[:, q:q + R + 1]
+    a = pltpu.roll(t, np.int32(128 - r), axis=2)
+    return jnp.where(lane < 128 - r, a[:, :R], a[:, 1:R + 1])
+
+
+def _dia_pallas_matmat(data, offsets, X, B, interpret=False):
+    """Fused multi-RHS DIA SpMV: the _dia_pallas_matvec geometry with K
+    lane blocks resident per grid step; the diagonal data is read once
+    per block for ALL lanes."""
+    nd, n_pad = data.shape
+    K = X.shape[1]
+    nb = n_pad // B
+    R = B // 128
+    cdtype = jnp.promote_types(data.dtype, X.dtype)
+    x3 = jnp.pad(X.T.reshape(K, -1, 128), ((0, 0), (R, R), (0, 0)))
+    data3 = data.reshape(nd, n_pad // 128, 128)
+
+    def kernel(xm_ref, xc_ref, xp_ref, d_ref, y_ref):
+        xcat = jnp.concatenate(
+            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=1)  # (K,3R,128)
+        lane = lax.broadcasted_iota(jnp.int32, (1, R, 128), 2)
+        acc = jnp.zeros((K, R, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted_k(xcat, off, B, R, lane)
+            acc = acc + d_ref[d][None].astype(cdtype) * sh.astype(cdtype)
+        y_ref[...] = acc
+
+    z = np.int32(0)
+    one = np.int32(1)
+    two = np.int32(2)
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
+            pl.BlockSpec((K, R, 128), lambda b: (z, b + one, z)),
+            pl.BlockSpec((K, R, 128), lambda b: (z, b + two, z)),
+            pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
+        ],
+        out_specs=pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
+        out_shape=jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype),
+        interpret=interpret,
+    )(x3, x3, x3, data3)
+    return y.reshape(K, -1).T
 
 
 def _dia_pallas_matvec(data, offsets, x, B, interpret=False):

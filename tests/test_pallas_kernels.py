@@ -190,3 +190,25 @@ def test_nonsymmetric_restriction_transposed_windowed():
     got = np.asarray(R_dev @ pad_vector(jnp.asarray(r),
                                         R_dev.base.n_pad))[:2100]
     np.testing.assert_allclose(got, R @ r, atol=1e-10)
+
+
+@pytest.mark.parametrize("K", [2, 8])
+def test_dia_fused_matmat_interpret(K):
+    """Fused multi-RHS DIA kernel == rolled XLA matmat: K lane blocks
+    share one diagonal-data read per grid step."""
+    import scipy.sparse as sp
+
+    from pyamg_tpu.gallery import poisson
+    from pyamg_tpu.sparse import dia_from_scipy
+    from pyamg_tpu.sparse.dia import _dia_pallas_matmat
+
+    A = poisson((512, 512), format="csr")
+    D = dia_from_scipy(sp.csr_matrix(A), dtype=jnp.float32)
+    X = jnp.asarray(np.random.default_rng(0).random((D.n_pad, K)),
+                    dtype=jnp.float32)
+    want = sum(np.asarray(D.data[d])[:, None]
+               * np.roll(np.asarray(X), -D.offsets[d], axis=0)
+               for d in range(D.ndiags))
+    got = np.asarray(_dia_pallas_matmat(D.data, D.offsets, X, 8192,
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-6, atol=1e-6)
