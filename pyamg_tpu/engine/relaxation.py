@@ -226,6 +226,13 @@ def _jacobi_step_vmap(axis_size, in_batched, A, x, b, dinv, omega):
 
     X = cols(x, x_b)
     B = cols(b, b_b)
+    from ..sparse.dia import DIAMatrix, dia_pallas_jacobi_k
+
+    if isinstance(A, DIAMatrix):
+        # one fused VMEM pass for all K lanes (sweep + residual folded)
+        Y = dia_pallas_jacobi_k(A, X, B, dinv, omega)
+        if Y is not None:
+            return jnp.moveaxis(Y, -1, 0), True
     Y = X + omega * (dinv[:, None] * (B - (A @ X)))
     return jnp.moveaxis(Y, -1, 0), True
 

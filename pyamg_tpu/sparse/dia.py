@@ -425,6 +425,70 @@ def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,
     return y.reshape(-1)
 
 
+def dia_pallas_jacobi_k(A, X, Bc, dinv, omega, interpret=False,
+                        force_B=None):
+    """Fused K-lane weighted-Jacobi sweep X + omega*dinv*(Bc - A@X), or
+    None when the fused path doesn't apply.  The multi-RHS form of
+    :func:`dia_pallas_jacobi`: one VMEM pass over the diagonal data and
+    halo-extended x blocks for ALL K lanes (the batched smoother is
+    otherwise a matmat pass plus a separate elementwise pass)."""
+    if X.ndim != 2 or Bc.shape != X.shape:
+        return None
+    K = X.shape[1]
+    if not 2 <= K <= 16:
+        return None
+    Bsz = force_B if force_B is not None else _fused_block_k(
+        A.data, A.offsets, X, K)
+    if Bsz is None or dinv.shape != (X.shape[0],):
+        return None
+    data, offsets = A.data, A.offsets
+    nd, n_pad = data.shape
+    nb = n_pad // Bsz
+    R = Bsz // 128
+    cdtype = jnp.promote_types(data.dtype, X.dtype)
+    x3 = jnp.pad(X.T.reshape(K, -1, 128), ((0, 0), (R, R), (0, 0)))
+    b3 = Bc.T.reshape(K, -1, 128)
+    data3 = data.reshape(nd, n_pad // 128, 128)
+    di2 = dinv.reshape(-1, 128)
+    om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
+
+    def kernel(om_ref, xm_ref, xc_ref, xp_ref, d_ref, b_ref, di_ref,
+               y_ref):
+        xcat = jnp.concatenate(
+            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=1)  # (K,3R,128)
+        lane = lax.broadcasted_iota(jnp.int32, (1, R, 128), 2)
+        acc = jnp.zeros((K, R, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted_k(xcat, off, Bsz, R, lane)
+            acc = acc + d_ref[d][None].astype(cdtype) * sh.astype(cdtype)
+        xc = xcat[:, R:2 * R].astype(cdtype)
+        y_ref[...] = xc + om_ref[0, 0] * (
+            di_ref[...][None].astype(cdtype)
+            * (b_ref[...].astype(cdtype) - acc))
+
+    z = np.int32(0)
+    one = np.int32(1)
+    two = np.int32(2)
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (z, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
+            pl.BlockSpec((K, R, 128), lambda b: (z, b + one, z)),
+            pl.BlockSpec((K, R, 128), lambda b: (z, b + two, z)),
+            pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
+            pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
+            pl.BlockSpec((R, 128), lambda b: (b, z)),
+        ],
+        out_specs=pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
+        out_shape=jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype),
+        interpret=interpret,
+    )(om, x3, x3, x3, data3, b3, di2)
+    return y.reshape(K, -1).T
+
+
 def dia_from_scipy(A, dtype=jnp.float32, row_pad=8, max_diags=None):
     """Convert a square scipy sparse matrix to DIAMatrix.
 

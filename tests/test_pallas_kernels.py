@@ -212,3 +212,25 @@ def test_dia_fused_matmat_interpret(K):
     got = np.asarray(_dia_pallas_matmat(D.data, D.offsets, X, 8192,
                                         interpret=True))
     np.testing.assert_allclose(got, want, rtol=3e-6, atol=1e-6)
+
+
+def test_dia_fused_jacobi_k_interpret():
+    """Fused K-lane Jacobi sweep == composed X + w*dinv*(B - A@X)."""
+    import scipy.sparse as sp
+
+    from pyamg_tpu.gallery import poisson
+    from pyamg_tpu.sparse import dia_from_scipy
+    from pyamg_tpu.sparse.dia import dia_pallas_jacobi_k
+
+    A = poisson((512, 512), format="csr")
+    D = dia_from_scipy(sp.csr_matrix(A), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    K = 4
+    X = jnp.asarray(rng.random((D.n_pad, K)), dtype=jnp.float32)
+    B = jnp.asarray(rng.random((D.n_pad, K)), dtype=jnp.float32)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    want = np.asarray(X) + 0.8 * (np.asarray(dinv)[:, None] * (
+        np.asarray(B) - np.asarray(D.matmat(X))))
+    got = np.asarray(dia_pallas_jacobi_k(D, X, B, dinv, 0.8,
+                                         interpret=True, force_B=8192))
+    np.testing.assert_allclose(got, want, atol=3e-6)
