@@ -264,3 +264,47 @@ def test_batched_rs_solve():
     assert X.shape == (n, 2)
     r = np.linalg.norm(B - A @ X, axis=0) / np.linalg.norm(B, axis=0)
     assert (r < 1e-4).all(), r
+
+
+def test_air_local_restriction_golden():
+    """Dense numpy golden for the degree-2 local AIR solve: for every C
+    point, r solves A_ff(N,N)^T r = -A_cf(c,N)^T over the slot
+    neighborhood — the embedded-DIA assembly (rolled views + unrolled
+    Gaussian elimination) must match entrywise."""
+    from pyamg_tpu.engine import device_air_setup
+    from pyamg_tpu.engine.classical_setup import _air_slots
+    from pyamg_tpu.gallery import advection_2d
+    from pyamg_tpu.sparse import dia_from_scipy
+    import scipy.sparse as sp
+
+    grid = (8, 8)
+    A, _ = advection_2d(grid, theta=np.pi / 3)
+    ds = device_air_setup(A, grid=grid, max_coarse=10, dtype=jnp.float64,
+                          max_levels=2)
+    lvl = ds.hierarchy.levels[0]
+    n = A.shape[0]
+    R_dev = np.stack(
+        [np.asarray(lvl.R.R_emb @ jnp.zeros(n).at[j].set(1.0))
+         for j in range(n)], axis=1)
+
+    Ad = np.asarray(A.todense())
+    D = dia_from_scipy(sp.csr_matrix(A), dtype=jnp.float64, row_pad=1)
+    slots = _air_slots(D, grid, degree=2)
+    coords = np.stack(np.unravel_index(np.arange(n), grid), axis=1)
+    cpts = (coords % 2 == 0).all(axis=1)
+
+    R_gold = np.zeros((n, n))
+    for c in np.flatnonzero(cpts):
+        R_gold[c, c] = 1.0
+        nbrs = []
+        for o in slots:
+            f = c + o          # flat-offset arithmetic, same as the DIA
+            if 0 <= f < n and not cpts[f] and Ad[f, f] != 0:
+                nbrs.append(f)
+        if not nbrs:
+            continue
+        M = Ad[np.ix_(nbrs, nbrs)]
+        rhs = -Ad[c, nbrs]
+        r = np.linalg.solve(M.T, rhs)
+        R_gold[c, nbrs] = r
+    np.testing.assert_allclose(R_dev, R_gold, atol=1e-11)
