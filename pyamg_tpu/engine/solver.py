@@ -394,3 +394,54 @@ def profile_cycle(dml, b=None, trace_dir=None, repeats=10, cycle="V"):
         "cycle_nnz": int(cycle_nnz),
         "gnnz_per_s": cycle_nnz / t / 1e9,
     }
+
+
+def profile_levels(dml, k=32, repeats=3):
+    """Per-level, per-op timing breakdown of a compiled hierarchy.
+
+    For every level: finest-operator SpMV, presmoother sweep,
+    restriction apply, prolongation apply — each timed as a k-long
+    DEPENDENT on-device chain synced by a scalar D2H pull (the only
+    reliable sync on the axon backend; block_until_ready can return
+    early — see bench.py::_chained_time and CLAUDE.md timing note).
+
+    Returns a list of per-level dicts (seconds per single application).
+    SURVEY.md §5 profiling analog at level granularity — the
+    where-does-the-cycle-time-go tool.
+    """
+    import time as _time
+
+    from jax import lax
+
+    h = dml.hierarchy
+
+    def chained(step, v0):
+        chain = jax.jit(
+            lambda hh, v: jnp.sum(
+                lax.fori_loop(0, k, lambda i, u: step(hh, u), v)))
+        float(chain(h, v0))
+        ts = []
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            float(chain(h, v0))
+            ts.append(_time.perf_counter() - t0)
+        return float(np.median(ts)) / k
+
+    out = []
+    for i, lvl in enumerate(h.levels):
+        v = jnp.ones(lvl.n_pad, dtype=h.dtype)
+        entry = {"level": i, "n": int(lvl.n), "nnz": int(lvl.A.nnz),
+                 "format": type(lvl.A).__name__}
+        entry["t_spmv_s"] = chained(
+            lambda hh, u, i=i: _fitv(hh.levels[i].A @ u, u.shape[0]), v)
+        entry["t_presmooth_s"] = chained(
+            lambda hh, u, i=i: hh.levels[i].pre(hh.levels[i].A, u, u), v)
+        if lvl.R is not None:
+            nc_pad = h.levels[i + 1].n_pad
+            # averaged R-then-P roundtrip: one transfer apply
+            entry["t_transfer_s"] = chained(
+                lambda hh, u, i=i, nc=nc_pad: _fitv(
+                    hh.levels[i].P
+                    @ _fitv(hh.levels[i].R @ u, nc), u.shape[0]) / 2, v)
+        out.append(entry)
+    return out

@@ -417,3 +417,19 @@ def test_device_solver_repr_and_complexity():
     assert 1.0 < dml.grid_complexity() < 2.0
     text = repr(dml)
     assert "operator complexity" in text and "DIAMatrix" in text
+
+
+def test_profile_levels():
+    import pyamg_tpu
+    from pyamg_tpu.engine import as_device_solver
+    from pyamg_tpu.engine.solver import profile_levels
+    from pyamg_tpu.gallery import poisson
+
+    A = poisson((32, 32), format="csr")
+    ml = pyamg_tpu.smoothed_aggregation_solver(A)
+    dml = as_device_solver(ml)
+    prof = profile_levels(dml, k=4, repeats=1)
+    assert len(prof) == len(dml.hierarchy.levels)
+    assert all(p["t_spmv_s"] > 0 and p["t_presmooth_s"] > 0
+               for p in prof)
+    assert all("t_transfer_s" in p for p in prof[:-1])
