@@ -411,9 +411,90 @@ class WindowedELL:
         return jnp.moveaxis(y, 1, 2).reshape(-1, K)
 
     def rmatmat(self, X):
-        """A.T @ X per-column (static unroll over the RHS axis)."""
-        cols = [self._rmatvec_impl(X[:, j]) for j in range(X.shape[1])]
+        """A.T @ X: fused K-lane transpose kernel on TPU when the K
+        transposed outputs fit VMEM; per-column unroll otherwise."""
+        K = X.shape[1]
+        if (jax.default_backend() == "tpu" and pltpu is not None
+                and 2 <= K <= 16 and self.block % 128 == 0
+                and self.w2 % 1024 == 0
+                and K * self.m_chunks * self.w2 * 4 <= 4 * 2**20):
+            return self._rmatmat_pallas(X)
+        cols = [self._rmatvec_impl(X[:, j]) for j in range(K)]
         return jnp.stack(cols, axis=1)
+
+    def _rmatmat_pallas(self, X, interpret=False):
+        """Fused K-lane transpose apply: the _rmatvec_pallas geometry
+        with all K transposed outputs resident in VMEM; data/idx read
+        once per row block for every lane, and the stage-1 contraction
+        grows to (K·H, BLOCK)×(BLOCK, 128) on the MXU."""
+        n_blocks, k, BLOCK = self.data.shape
+        K = X.shape[1]
+        H2 = self.w2 // _LANES
+        H = 2 * H2
+        out_chunks = self.m_chunks * H2
+        dtype = self.data.dtype
+        cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+        r3 = X[: self.n_pad].T.reshape(K, n_blocks, 1, BLOCK)
+
+        def kernel(starts_ref, data_ref, idx_ref, r_ref, y_ref):
+            b = pl.program_id(0)
+
+            @pl.when(b == 0)
+            def _init():
+                y_ref[...] = jnp.zeros_like(y_ref)
+
+            rb = r_ref[:, 0].astype(cdtype)                # (K, 1, BLOCK)
+            lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
+            chunk_iota = lax.broadcasted_iota(jnp.int32, (1, H, BLOCK), 1)
+            acc = jnp.zeros((K * H, _LANES), dtype=cdtype)
+            dims = (((1,), (1,)), ((), ()))
+            for s in range(k):
+                idx_s = idx_ref[0, s:s + 1, :]
+                hi_s = lax.shift_right_logical(idx_s, np.int32(7))
+                lo_s = jnp.bitwise_and(idx_s, np.int32(127))
+                w = data_ref[0, s:s + 1, :].astype(cdtype) * rb  # (K,1,BLOCK)
+                if cdtype == jnp.float32:
+                    Bmat = (lane_iota == lo_s).astype(jnp.bfloat16)
+                    for p in _split3_bf16(w):
+                        Amat = jnp.where(
+                            chunk_iota == hi_s[None],
+                            p.astype(jnp.float32), 0.0
+                        ).astype(jnp.bfloat16).reshape(K * H, BLOCK)
+                        acc = acc + lax.dot_general(
+                            Amat, Bmat, dims,
+                            preferred_element_type=jnp.float32)
+                else:
+                    Amat = jnp.where(chunk_iota == hi_s[None], w,
+                                     0).reshape(K * H, BLOCK)
+                    Bmat = (lane_iota == lo_s).astype(cdtype)
+                    acc = acc + lax.dot_general(
+                        Amat, Bmat, dims,
+                        preferred_element_type=cdtype,
+                        precision=lax.Precision.HIGHEST)
+            start = starts_ref[b]
+            sl = pl.ds(start * H2, H)
+            y_ref[:, sl, :] = (y_ref[:, sl, :]
+                               + acc.reshape(K, H, _LANES).astype(dtype))
+
+        z = np.int32(0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((K, 1, 1, BLOCK), lambda b, s: (z, b, z, z)),
+            ],
+            out_specs=pl.BlockSpec((K, out_chunks, _LANES),
+                                   lambda b, s: (z, z, z)),
+        )
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((K, out_chunks, _LANES), dtype),
+            interpret=interpret,
+        )(self.starts, self.data, self.idx, r3)
+        return y.reshape(K, -1).T
 
     def __matmul__(self, x):
         if x.ndim != 1:

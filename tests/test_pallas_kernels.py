@@ -234,3 +234,17 @@ def test_dia_fused_jacobi_k_interpret():
     got = np.asarray(dia_pallas_jacobi_k(D, X, B, dinv, 0.8,
                                          interpret=True, force_B=8192))
     np.testing.assert_allclose(got, want, atol=3e-6)
+
+
+@pytest.mark.parametrize("K", [2, 8])
+def test_windowed_fused_rmatmat_interpret(K):
+    """Fused K-lane transpose kernel == scipy A.T @ X: all K transposed
+    outputs accumulate in VMEM across overlapping windows."""
+    P = _random_rect(4096, 1500, per_row=3, spread=40, seed=11)
+    W = windowed_from_scipy(P, block=256)
+    assert W is not None
+    X = jnp.asarray(np.random.default_rng(12).random((W.n_pad, K)),
+                    dtype=jnp.float32)
+    want = P.T @ np.asarray(X)[: P.shape[0]]
+    got = np.asarray(W._rmatmat_pallas(X, interpret=True))[: P.shape[1]]
+    np.testing.assert_allclose(got, want, rtol=3e-6, atol=1e-6)
