@@ -138,6 +138,15 @@ def main(grid=(2048, 2048), verbose=False):
 
     backend = jax.default_backend()
     detail = {"backend": backend, "chips": jax.device_count()}
+    if backend != "tpu" and grid == (2048, 2048):
+        # relay down -> axon fails -> jax falls back to CPU: the full
+        # 2048^2 run (x64 phase B especially) would take hours there.
+        # Shrink so the driver still gets a complete, honestly-labeled
+        # JSON (backend + grid are both in the metric string).
+        grid = (512, 512)
+        detail["backend_fallback"] = (
+            "TPU backend unavailable; grid shrunk to 512^2 so the CPU "
+            "run completes")
     _mixed = []   # (name, host_ml, b, solve_kwargs) queued for phase B
 
     # ================= config 1: 2D Poisson, SA + CG, Jacobi ============
