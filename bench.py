@@ -136,7 +136,17 @@ def main(grid=(2048, 2048), verbose=False):
                                    poisson, recirc_flow, stencil_grid)
     from pyamg_tpu.sparse import dia_from_stencil
 
-    backend = jax.default_backend()
+    # Explicitly-requested platforms ("axon,cpu" via the site hook) do
+    # NOT fall back when the first one fails — a dead relay raises
+    # RuntimeError out of backend init and the driver would get no JSON
+    # at all.  Catch and force CPU so the contract survives an outage.
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        print(f"backend init failed ({str(e)[:120]}); forcing CPU",
+              file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
     detail = {"backend": backend, "chips": jax.device_count()}
     if backend != "tpu" and grid == (2048, 2048):
         # relay down -> axon fails -> jax falls back to CPU: the full

@@ -583,7 +583,7 @@ def _air_setup_pipeline(A_in, *, plan, dtype, f_iterations, c_iterations,
     return tuple(out_levels), Ac_dense, coarse_inv
 
 
-def device_air_setup(A, grid, dtype=jnp.float32, stride=2,
+def device_air_setup(A, grid=None, dtype=jnp.float32, stride=2,
                      max_coarse=400, max_levels=4, degree=2,
                      f_iterations=2, c_iterations=1, omega=1.0,
                      mixed_precision=False):
@@ -615,6 +615,11 @@ def device_air_setup(A, grid, dtype=jnp.float32, stride=2,
     """
     if jnp.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)
+    if grid is None:
+        if not (sp.issparse(A) or isinstance(A, np.ndarray)):
+            raise ValueError("grid= is required for DIAMatrix inputs")
+        from .device_setup import detect_grid
+        grid = detect_grid(A)
     grid = tuple(int(g) for g in grid)
     dim = len(grid)
     n = int(np.prod(grid))
@@ -699,7 +704,7 @@ def device_air_setup(A, grid, dtype=jnp.float32, stride=2,
 # driver
 # ---------------------------------------------------------------------------
 
-def device_rs_setup(A, grid, dtype=jnp.float32, stride="auto",
+def device_rs_setup(A, grid=None, dtype=jnp.float32, stride="auto",
                     max_coarse=400, max_levels=12,
                     presmoother=("jacobi", {"omega": 4.0 / 3.0}),
                     postsmoother=("jacobi", {"omega": 4.0 / 3.0}),
@@ -729,6 +734,11 @@ def device_rs_setup(A, grid, dtype=jnp.float32, stride="auto",
     """
     if jnp.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)
+    if grid is None:
+        if not (sp.issparse(A) or isinstance(A, np.ndarray)):
+            raise ValueError("grid= is required for DIAMatrix inputs")
+        from .device_setup import detect_grid
+        grid = detect_grid(A)
     grid = tuple(int(g) for g in grid)
     dim = len(grid)
     n = int(np.prod(grid))

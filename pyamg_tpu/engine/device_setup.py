@@ -64,12 +64,70 @@ from .setup import _hash_weights
 from .solver import DeviceMultilevelSolver
 
 __all__ = [
+    "detect_grid",
     "device_sa_setup",
     "StructuredProlongator",
     "StructuredRestrictor",
     "dia_transpose",
     "StructuredDeviceSolver",
 ]
+
+
+def detect_grid(A):
+    """Infer the row-major grid shape of a stencil operator from its
+    sparsity offsets (best effort — pass ``grid`` explicitly when you
+    know it).
+
+    The distinct structural offsets of a grid stencil are sums of
+    per-dim unit steps: ±1 for the fastest dim, ±nx (± 1) for the next
+    (9-point stencils add the diagonals nx±1), ±nx·ny (± …) for 3-D.
+    Recovery: the fastest-dim extent is the smallest offset > 2 present
+    as {o-1, o, o+1} (FE) or bare o (FD); recurse on offsets/extent.
+    Raises ValueError when no consistent grid exists.
+    """
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    coo = A.tocoo()
+    offs = np.unique(np.abs(coo.col - coo.row))
+    offs = offs[offs > 0]
+
+    def next_extent(offs, limit):
+        """Smallest plausible extent from offsets in (2, limit]."""
+        big = offs[offs > 2]
+        if len(big) == 0:
+            return None
+        o = int(big[0])
+        s = set(offs.tolist())
+        if o + 2 in s and o + 1 in s:
+            return o + 1          # {nx-1, nx, nx+1} diagonals (FE)
+        if o + 2 in s:
+            return o + 1          # {nx-1, nx+1} without nx
+        return o                  # bare nx (FD)
+
+    dims = []
+    cur = 1
+    while True:
+        rel = np.unique(offs[offs % cur == 0] // cur)
+        rel = rel[rel > 0]
+        ext = next_extent(rel, n)
+        if ext is None:
+            break
+        cur *= ext
+        dims.append(ext)
+        if cur >= n:
+            break
+    if cur == 0 or n % max(cur, 1) != 0:
+        raise ValueError(
+            f"could not infer a grid from offsets {offs[:8].tolist()}…; "
+            "pass grid= explicitly")
+    lead = n // cur
+    grid = (lead,) + tuple(reversed(dims)) if lead > 1 else tuple(
+        reversed(dims))
+    if int(np.prod(grid)) != n or len(grid) == 0:
+        raise ValueError(
+            f"inferred grid {grid} does not match n={n}; pass grid= "
+            "explicitly")
+    return grid
 
 
 # ---------------------------------------------------------------------------
@@ -770,7 +828,7 @@ class StructuredDeviceSolver(DeviceMultilevelSolver):
         return LinearOperator((n, n), matvec=matvec, dtype=np.float64)
 
 
-def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
+def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
                     stride=3, max_coarse=400, max_levels=12,
                     presmoother=("jacobi", {"omega": 4.0 / 3.0}),
                     postsmoother=("jacobi", {"omega": 4.0 / 3.0}),
@@ -804,6 +862,10 @@ def device_sa_setup(A, grid, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     """
     if jnp.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)   # else silent f32
+    if grid is None:
+        if not (sp.issparse(A) or isinstance(A, np.ndarray)):
+            raise ValueError("grid= is required for DIAMatrix inputs")
+        grid = detect_grid(A)
     grid = tuple(int(g) for g in grid)
     dim = len(grid)
     n = int(np.prod(grid))

@@ -234,3 +234,25 @@ def test_explicit_per_dim_strides():
     res = []
     x = ds.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res)
     assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+
+
+def test_detect_grid_and_auto_setup():
+    """detect_grid infers row-major grid shapes from stencil offsets;
+    grid=None setups route through it."""
+    from pyamg_tpu.engine import device_rs_setup, device_sa_setup
+    from pyamg_tpu.engine.device_setup import detect_grid
+    from pyamg_tpu.gallery import diffusion_stencil_2d, poisson, \
+        stencil_grid
+
+    assert detect_grid(poisson((48, 96), format="csr")) == (48, 96)
+    assert detect_grid(poisson((8, 12, 20), format="csr")) == (8, 12, 20)
+    A9 = stencil_grid(diffusion_stencil_2d(epsilon=1.0, type="FE"),
+                      (32, 40)).tocsr()
+    assert detect_grid(A9) == (32, 40)
+
+    A = poisson((48, 48), format="csr")
+    b = np.random.default_rng(0).random(A.shape[0])
+    for setup in (device_sa_setup, device_rs_setup):
+        ds = setup(A, max_coarse=150)            # no grid argument
+        x = ds.solve(b, tol=1e-5, maxiter=40, accel="cg")
+        assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-4
