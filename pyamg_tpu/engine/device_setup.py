@@ -631,8 +631,10 @@ def _smoother_wrap(key, arrays):
 
 
 @partial(jax.jit, static_argnames=("plan", "omega", "dtype",
-                                   "pre_key", "post_key"))
-def _setup_pipeline(A_in, *, plan, omega, dtype, pre_key, post_key):
+                                   "pre_key", "post_key",
+                                   "improve_iters"))
+def _setup_pipeline(A_in, B_in=None, *, plan, omega, dtype, pre_key,
+                    post_key, improve_iters=0):
     """The ENTIRE multi-level SA setup as ONE XLA program.
 
     plan: static tuple of (grid, grid_p, strides) per level — per-dim
@@ -653,15 +655,33 @@ def _setup_pipeline(A_in, *, plan, omega, dtype, pre_key, post_key):
         center = tuple(s // 2 for s in strides)
         A_p = _relayout_dia(cur, grid, grid_p)
         if B is None:
-            Bv = jnp.where(A_p.diagonal() != 0,
-                           jnp.ones(A_p.n_pad, dtype=dtype), 0)
+            if B_in is not None:
+                # user-supplied near-nullspace candidate (level 0)
+                Bv = _grid_pad_vec(
+                    jnp.asarray(B_in, dtype=dtype)[: int(np.prod(grid))],
+                    grid, grid_p)
+                Bv = jnp.where(A_p.diagonal() != 0, Bv, 0)
+            else:
+                Bv = jnp.where(A_p.diagonal() != 0,
+                               jnp.ones(A_p.n_pad, dtype=dtype), 0)
         else:
             Bv = _grid_pad_vec(B[: int(np.prod(grid))], grid, grid_p)
-        S_op, St_op, tv, A_c, Bc, rho = _coarsen_level(
-            A_p, Bv, grid_p, strides, center, omega, dtype)
         diag = A_p.diagonal()
         dinv = jnp.where(diag != 0,
                          1.0 / jnp.where(diag != 0, diag, 1), 0)
+        rho = _power_rho(A_p, dinv)
+        # improve_candidates ([R] pyamg/aggregation/aggregation.py
+        # default: relax A z = 0 on the candidate before fitting the
+        # tentative — essential when the near-nullspace is not exactly
+        # representable, e.g. diagonally rescaled operators; measured:
+        # rescaled 64^2 Poisson rho 0.82 -> 0.36 with 4 sweeps)
+        omega_imp = 1.0 / jnp.maximum(rho, 1e-30)
+        for _ in range(improve_iters):
+            Bv = Bv - omega_imp * (dinv * (A_p @ Bv))
+        if improve_iters:
+            Bv = Bv / jnp.maximum(jnp.max(jnp.abs(Bv)), 1e-30)
+        S_op, St_op, tv, A_c, Bc, rho = _coarsen_level(
+            A_p, Bv, grid_p, strides, center, omega, dtype, rho=rho)
         pre_arr = _smoother_device_arrays(pre_key, A_p, dinv, rho, dtype)
         post_arr = _smoother_device_arrays(post_key, A_p, dinv, rho,
                                            dtype)
@@ -704,16 +724,19 @@ def _ns_pinv(A, iters=60):
     return lax.fori_loop(0, iters, body, X0)
 
 
-def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype):
+def _coarsen_level(A_p: DIAMatrix, B, grid_p, stride, center, omega, dtype,
+                   rho=None):
     """One device SA coarsening step on the padded grid.
 
     Returns (P_emb, R_emb, A_c on coarse grid, B_c).  Jitted by the
-    caller with static grid/stride.
-    """
+    caller with static grid/stride.  ``rho`` (spectral radius of
+    D^-1 A) may be passed in when the caller already estimated it for
+    the candidate-improvement sweeps."""
     diag = A_p.diagonal()
     dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
     T, Bc, tv = _tentative_emb(B, grid_p, stride, center, dtype)
-    rho = _power_rho(A_p, dinv)
+    if rho is None:
+        rho = _power_rho(A_p, dinv)
     # S = I - (omega/rho) D^-1 A_dir as a DIA (row-scaled + identity
     # bump).  A_dir drops offsets that move along UNCOARSENED (stride-1)
     # dims: smoothing P along weak directions both wastes work (the
@@ -832,6 +855,7 @@ def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
                     stride=3, max_coarse=400, max_levels=12,
                     presmoother=("jacobi", {"omega": 4.0 / 3.0}),
                     postsmoother=("jacobi", {"omega": 4.0 / 3.0}),
+                    improve_candidates_iters=0,
                     mixed_precision=False):
     """Build an SA hierarchy ON DEVICE for a grid-stencil operator.
 
@@ -847,6 +871,14 @@ def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     stencil is 3^d-point at EVERY level.  Measured: stride 2 lets the
     coarse stencil grow without bound (25-point, then more) and
     compile/solve cost blows up with it.
+
+    ``improve_candidates_iters`` (default 0 = off) relaxes A z = 0 on
+    the candidate before fitting each level's tentative — the host
+    ``improve_candidates`` analog ([R] pyamg/aggregation/aggregation.py
+    default).  Essential when the near-nullspace is not representable by
+    B (diagonally rescaled operators: measured 64² rescaled Poisson 60
+    -> 20 CG iters with 8 sweeps); off by default so the ones-candidate
+    pipeline stays golden-reproducible.
 
     ``stride`` may also be a per-dim tuple (SEMICOARSENING: stride 1 in
     weak-coupling dims — the classic cure for grid-aligned anisotropy)
@@ -930,9 +962,19 @@ def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     post_key = _spec_key(postsmoother)
 
     # ---- one fused device program for the whole setup -----------------
+    B_dev = None
+    if B is not None:
+        B_arr = (B if isinstance(B, jnp.ndarray)
+                 else jnp.asarray(np.asarray(B).ravel(), dtype=dtype))
+        if B_arr.ndim != 1 or B_arr.shape[0] < n:
+            raise ValueError("B must be a length-n near-nullspace "
+                             "candidate (multi-candidate: use "
+                             "device_sa_setup_block)")
+        B_dev = B_arr
     out_levels, Ac_dense, coarse_inv = _setup_pipeline(
-        A_dia, plan=tuple(plan), omega=omega, dtype=dtype,
-        pre_key=pre_key, post_key=post_key)
+        A_dia, B_dev, plan=tuple(plan), omega=omega, dtype=dtype,
+        pre_key=pre_key, post_key=post_key,
+        improve_iters=int(improve_candidates_iters))
 
     # ---- assemble the DeviceHierarchy (host bookkeeping only) ---------
     dev_levels = []

@@ -256,3 +256,34 @@ def test_detect_grid_and_auto_setup():
         ds = setup(A, max_coarse=150)            # no grid argument
         x = ds.solve(b, tol=1e-5, maxiter=40, accel="cg")
         assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-4
+
+
+def test_improve_candidates_rescaled():
+    """In-pipeline candidate improvement (the host improve_candidates
+    analog): on a diagonally rescaled Poisson operator — whose
+    near-nullspace is D^{-1/2}·1, not ones — the improvement sweeps
+    recover most of the exact-candidate convergence."""
+    import scipy.sparse as sp
+
+    from pyamg_tpu.engine import device_sa_setup
+    from pyamg_tpu.gallery import poisson
+
+    grid = (48, 48)
+    A = poisson(grid, format="csr")
+    rng = np.random.default_rng(0)
+    d = 10.0 ** rng.uniform(-2, 2, A.shape[0])
+    Dh = sp.diags(np.sqrt(d))
+    As = (Dh @ A @ Dh).tocsr()
+    b = rng.random(As.shape[0])
+
+    def iters(**kw):
+        ds = device_sa_setup(As, grid=grid, max_coarse=150, **kw)
+        res = []
+        ds.solve(b, tol=1e-5, maxiter=60, accel="cg", residuals=res)
+        return len(res) - 1
+
+    it0 = iters(improve_candidates_iters=0)
+    it8 = iters(improve_candidates_iters=8)
+    it_exact = iters(B=1.0 / np.sqrt(d))
+    assert it8 < it0 - 10, (it0, it8)          # big win from improvement
+    assert it_exact <= it8, (it_exact, it8)    # exact candidate is best
