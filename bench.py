@@ -118,9 +118,40 @@ def _timed_device_solve(dml, b, **kw):
     return time.perf_counter() - t0, res, x
 
 
+def _relay_health_preprobe(timeout_s=180):
+    """Probe backend health in a SUBPROCESS with a hard timeout.
+
+    A dead relay makes in-process axon init block ~25 minutes before
+    raising (measured); probing out-of-process caps the stall so the
+    driver's bench either starts on TPU promptly or falls back to CPU
+    within ~3 minutes.  A healthy relay initializes in seconds, so a
+    timeout here almost certainly means no live lease exists to poison
+    (CLAUDE.md process-hygiene note).
+    """
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if probe.returncode == 0:
+            return probe.stdout.strip().splitlines()[-1]
+        print(f"backend preprobe failed: {probe.stderr[-200:]}",
+              file=sys.stderr, flush=True)
+        return None
+    except subprocess.TimeoutExpired:
+        print(f"backend preprobe timed out after {timeout_s}s",
+              file=sys.stderr, flush=True)
+        return None
+
+
 def main(grid=(2048, 2048), verbose=False):
     import jax
     import jax.numpy as jnp
+
+    if _relay_health_preprobe() is None:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
