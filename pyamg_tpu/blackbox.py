@@ -113,16 +113,28 @@ def solver(A, config):
 
 
 def solve(A, b, x0=None, tol=1e-5, maxiter=400, return_solver=False,
-          existing_solver=None, verb=True, accel=None):
+          existing_solver=None, verb=True, accel=None, device=False):
     """Zero-config solve of A x = b ([R] pyamg/blackbox.py::solve).
 
     Builds (or reuses) an SA solver and runs Krylov-accelerated cycles.
+
+    ``device=True`` (TPU-native addition, no reference counterpart):
+    after the host setup, the whole hierarchy is compiled into ONE jitted
+    XLA program (engine.as_device_solver) and the accelerated solve runs
+    device-resident — f64 outer Krylov preconditioned by the f32 cycle
+    (mixed precision), so any ``tol`` down to ~1e-12 is reachable at
+    device speed.  Complex operators compile natively in complex128.
+    With ``return_solver=True`` the returned solver is the device solver;
+    pass it back as ``existing_solver`` to amortize setup+compile across
+    solves (it is detected by its ``hierarchy`` attribute).
     """
     A = make_csr(A)
     b = np.asarray(b)
     if verb:
         print(f"Solving matrix of size {A.shape[0]} with {A.nnz} nonzeros")
 
+    device_solver = (existing_solver is not None
+                     and hasattr(existing_solver, "hierarchy"))
     if existing_solver is None:
         config = solver_configuration(A, verb=verb)
         ml = solver(A, config)
@@ -134,9 +146,27 @@ def solve(A, b, x0=None, tol=1e-5, maxiter=400, return_solver=False,
     if verb:
         print(ml)
 
+    solve_kwargs = {}
+    if device and not device_solver:
+        from .engine import as_device_solver
+        if np.iscomplexobj(A.data):
+            import jax.numpy as jnp
+            ml = as_device_solver(ml, dtype=jnp.complex128)
+            solve_kwargs["precision"] = "native"
+        else:
+            ml = as_device_solver(ml, mixed_precision=True)
+            solve_kwargs["precision"] = "mixed"
+        device_solver = True
+    if device_solver:
+        if np.dtype(ml.hierarchy.dtype).kind != "c" and \
+                getattr(ml.hierarchy, "A64", None) is not None:
+            solve_kwargs.setdefault("precision", "mixed")
+        if chosen_accel == "gmres":    # device engine spells it fgmres
+            chosen_accel = "fgmres"
+
     residuals = []
     x = ml.solve(b, x0=x0, tol=tol, maxiter=maxiter, accel=chosen_accel,
-                 residuals=residuals)
+                 residuals=residuals, **solve_kwargs)
     if verb:
         nb = norm(b)
         rel = norm(b - A @ x) / nb if nb != 0 else norm(b - A @ x)

@@ -118,6 +118,31 @@ def test_blackbox_nonsymmetric():
     assert np.linalg.norm(b2 - A @ x2) / np.linalg.norm(b2) < 1e-6
 
 
+def test_blackbox_device_solve():
+    """device=True: zero-config TPU-engine solve (mixed precision) plus
+    device-solver reuse through existing_solver."""
+    A = poisson((24, 24), format="csr")
+    b = np.random.default_rng(9).random(A.shape[0])
+    x, dml = pyamg_tpu.solve(A, b, verb=False, tol=1e-9, device=True,
+                             return_solver=True)
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-8
+    # returned solver is the DEVICE solver; reuse skips setup+compile
+    assert hasattr(dml, "hierarchy")
+    b2 = np.random.default_rng(10).random(A.shape[0])
+    x2 = pyamg_tpu.solve(A, b2, verb=False, tol=1e-9, existing_solver=dml)
+    assert np.linalg.norm(b2 - A @ x2) / np.linalg.norm(b2) < 1e-8
+
+
+def test_blackbox_device_nonsymmetric():
+    """device=True routes the nonsymmetric config through device fgmres."""
+    from pyamg_tpu.gallery import recirc_flow
+
+    A = recirc_flow((20, 20), epsilon=1e-2)
+    b = np.random.default_rng(11).random(A.shape[0])
+    x = pyamg_tpu.solve(A, b, verb=False, tol=1e-8, device=True)
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+
+
 def test_blackbox_config_roundtrip():
     A = poisson((16, 16), format="csr")
     config = pyamg_tpu.solver_configuration(A, verb=False)
