@@ -541,17 +541,66 @@ def main(grid=(2048, 2048), verbose=False):
                 "nnz/s scaling requires hardware not exposed here",
     }
 
+    # Full detail goes to a sidecar file: the driver captures only the
+    # LAST ~2000 chars of stdout, and round 2's inline 5-config detail
+    # (~4.5 kB) truncated the JSON line mid-object -> "parsed": null in
+    # BENCH_r02.json.  The printed line stays compact (<1.5 kB) with a
+    # per-config summary; bench_detail.json holds everything.
+    try:
+        with open("bench_detail.json", "w") as f:
+            json.dump(detail, f, default=float, indent=1)
+        detail_ref = "bench_detail.json"
+    except OSError:
+        detail_ref = None
+
+    def _pick(cfg, keys):
+        src = detail.get(cfg, {})
+        out = {}
+        for short, full in keys:
+            v = src.get(full)
+            if v is not None:
+                out[short] = v
+        return out
+
+    summary = {
+        "config1": _pick("config1", [
+            ("t_vcycle_ms", "t_vcycle_ms"),
+            ("spmv_gnnz_s", "spmv_gnnz_s"),
+            ("setup_dev_s", "setup_device_s"),
+            ("t_1e8_s", "time_to_1e8_s"), ("it_1e8", "iters_to_1e8")]),
+        "config2": _pick("config2", [
+            ("t_wcycle_ms", "t_wcycle_ms"),
+            ("setup_dev_s", "setup_device_s"),
+            ("t_1e8_s", "time_to_1e8_s"), ("conv", "conv_factor")]),
+        "config3": _pick("config3", [
+            ("setup_dev_s", "setup_device_s"),
+            ("t_1e8_s", "time_to_1e8_s"), ("conv", "conv_factor")]),
+        "config4": _pick("config4", [
+            ("setup_dev_s", "setup_device_s"),
+            ("t_1e8_s", "time_to_1e8_s"),
+            ("dev_t_1e8_s", "device_setup_time_to_1e8_s")]),
+        "config5": _pick("config5", [
+            ("setup_host_s", "setup_host_s"),
+            ("t_1e8_s", "time_to_1e8_s"), ("conv", "conv_factor")]),
+        "air_setup_s": detail.get("air", {}).get("setup_device_s"),
+    }
+
     result = {
         "metric": "SA V-cycle throughput (2D Poisson %dx%d, f32, %s)" % (
             grid[0], grid[1], backend),
         "value": round(vcycle_nnz_s / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(vcycle_nnz_s / host_nnz_s, 3),
-        "detail": detail,
+        "detail_file": detail_ref,
+        "summary": summary,
     }
-    # default=float: any stray numpy scalar in detail must never break
-    # the driver's one-line JSON contract
-    print(json.dumps(result, default=float))
+    # default=float: any stray numpy scalar must never break the
+    # driver's one-line JSON contract
+    line = json.dumps(result, default=float)
+    if len(line) > 1900:        # belt-and-braces: never exceed the
+        result.pop("summary")   # driver's stdout tail capture
+        line = json.dumps(result, default=float)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,16 @@ def _make_cycle(nlev, cycle, amli_depth=2):
     ``amli_depth`` = number of A_c-orthogonalized coarse corrections per
     AMLI visit (host parity: MultilevelSolver.solve(amli_depth=...))."""
 
+    if nlev == 1:
+        # single-level hierarchy (problem already <= max_coarse, e.g. a
+        # blackbox solve of a small matrix): the "cycle" is the direct
+        # coarse solve — host parity: MultilevelSolver.__solve at lvl 0
+        # == len(levels)-1 goes straight to coarse_solver
+        def direct(h, x, b):
+            return _fitv(h.coarse_solve(_fitv(b, h.nc_pad)), b.shape[0])
+
+        return direct
+
     def visit(h, i, x, b, kind):
         lvl = h.levels[i]
         x = lvl.pre(lvl.A, x, b)

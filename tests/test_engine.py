@@ -433,3 +433,24 @@ def test_profile_levels():
     assert all(p["t_spmv_s"] > 0 and p["t_presmooth_s"] > 0
                for p in prof)
     assert all("t_transfer_s" in p for p in prof[:-1])
+
+
+def test_single_level_device_hierarchy():
+    """A hierarchy whose finest level is already <= max_coarse compiles
+    to ONE device level; the cycle degenerates to the direct coarse
+    solve (host parity: MultilevelSolver.__solve at the last level).
+    Regression: blackbox solve of a small matrix with device=True hit
+    'NoneType @ tracer' in _make_cycle (round 3)."""
+    import pyamg_tpu
+    from pyamg_tpu.engine import as_device_solver
+    from pyamg_tpu.gallery import poisson
+
+    A = poisson((12, 12), format="csr")
+    ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=200)
+    assert len(ml.levels) == 1
+    dml = as_device_solver(ml)
+    b = np.random.default_rng(3).random(A.shape[0])
+    for accel in (None, "cg"):
+        res = []
+        x = dml.solve(b, tol=1e-6, maxiter=20, accel=accel, residuals=res)
+        assert np.linalg.norm(b - A @ x) <= 1e-5 * np.linalg.norm(b)
