@@ -204,7 +204,8 @@ def main(grid=(2048, 2048), verbose=False):
     cycle_nnz = _cycle_nnz(ml)
 
     note("config1: device compile...")
-    dml = DeviceMultilevelSolver(compile_hierarchy(ml, dtype=jnp.float32))
+    dml = DeviceMultilevelSolver(compile_hierarchy(ml, dtype=jnp.float32,
+                                                 coarse_cutoff=1024))
     n_pad = dml.hierarchy.levels[0].n_pad
     b = jnp.asarray(np.random.default_rng(0).random(n_pad),
                     dtype=jnp.float32)
@@ -305,7 +306,8 @@ def main(grid=(2048, 2048), verbose=False):
     ml2 = pyamg_tpu.smoothed_aggregation_solver(
         A2, presmoother=("gauss_seidel", {"sweep": "symmetric"}),
         postsmoother=("gauss_seidel", {"sweep": "symmetric"}))
-    dml2 = DeviceMultilevelSolver(compile_hierarchy(ml2, dtype=jnp.float32))
+    dml2 = DeviceMultilevelSolver(compile_hierarchy(ml2, dtype=jnp.float32,
+                                                  coarse_cutoff=1024))
     b2 = np.random.default_rng(1).random(A2.shape[0])
     one_cycle2 = _make_cycle(len(dml2.hierarchy.levels), "W")
     h2 = dml2.hierarchy
@@ -498,7 +500,8 @@ def main(grid=(2048, 2048), verbose=False):
     note("phase B: mixed-precision (enables x64)...")
     jax.clear_caches()
     dml_mixed = DeviceMultilevelSolver(
-        compile_hierarchy(ml, dtype=jnp.float32, mixed_precision=True))
+        compile_hierarchy(ml, dtype=jnp.float32, mixed_precision=True,
+                          coarse_cutoff=1024))
     bb = np.random.default_rng(1).random(A.shape[0])
     t1e8, res8, _ = _timed_device_solve(dml_mixed, bb, tol=1e-8,
                                         maxiter=100, accel="cg",
@@ -523,7 +526,7 @@ def main(grid=(2048, 2048), verbose=False):
         jax.clear_caches()          # see phase-B map-count note above
         dmx = DeviceMultilevelSolver(
             compile_hierarchy(mlx, dtype=jnp.float32,
-                              mixed_precision=True))
+                              mixed_precision=True, coarse_cutoff=1024))
         tX, resX, _ = _timed_device_solve(dmx, bx, precision="mixed",
                                           **kw)
         detail[name]["time_to_1e8_s"] = round(tX, 3)

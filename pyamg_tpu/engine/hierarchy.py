@@ -503,7 +503,8 @@ def _restriction_operator(R, P, P_dev, dtype, row_pad, fac=None,
 
 
 def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
-                      mixed_precision=False, dia_storage=None):
+                      mixed_precision=False, dia_storage=None,
+                      coarse_cutoff=None):
     """Convert a host MultilevelSolver into a DeviceHierarchy.
 
     All level operators become padded DIA/dense/windowed device pytrees in
@@ -514,7 +515,16 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
     jax_enable_x64).  ``dia_storage=jnp.bfloat16`` stores DIA diagonal
     data in bf16 (half the HBM traffic of the bandwidth-bound rolled
     SpMV) while vectors and accumulation stay in ``dtype`` via promotion.
-    The returned object is consumed by DeviceMultilevelSolver
+
+    ``coarse_cutoff=n`` truncates the DEVICE hierarchy at the first level
+    with <= n unknowns, solving there with the dense pseudo-inverse
+    instead of descending further.  On this chip every extra level costs
+    a fixed ~0.15 ms of tiny-op overhead per cycle while a <=1024-unknown
+    dense pinv matvec is ~free (measured round 3: the 8-level 2048^2 SA
+    hierarchy spends 0.46 ms/cycle below level 4, n=979); the exact
+    coarse solve can only improve convergence.  Default None preserves
+    bitwise host-parity of residual histories (the host recursion depth
+    is kept).  The returned object is consumed by DeviceMultilevelSolver
     (pyamg_tpu.engine.solver).
     """
     from ..sparse import DIAMatrix
@@ -527,6 +537,11 @@ def compile_hierarchy(ml, dtype=jnp.float32, row_pad=_ROW_PAD,
     from ..sparse.block_dia import block_dia_from_scipy
 
     host_levels = ml.levels
+    if coarse_cutoff is not None:
+        for cut, lvl in enumerate(host_levels):
+            if lvl.A.shape[0] <= int(coarse_cutoff):
+                host_levels = host_levels[: cut + 1]
+                break
     levels = []
     for i, lvl in enumerate(host_levels[:-1]):
         A = sp.csr_matrix(lvl.A)

@@ -616,15 +616,19 @@ def windowed_from_scipy(A, dtype=jnp.float32, block=None, max_w2=16384):
     """Build a WindowedELL from a scipy sparse matrix.
 
     ``block=None`` picks the row-block size adaptively: largest of
-    (2048, 1024, 512, 256) that keeps the window at the Mosaic minimum
+    (8192, ..., 256) that keeps the window at the Mosaic minimum
     (w2=1024), else the candidate minimizing the measured kernel cost
-    model (grid-step overhead + one-hot MXU work ~ k*n*H).
+    model (grid-step overhead + one-hot MXU work ~ k*n*H; constants
+    refit round 3 on the 4.2M-row k=1 SA tentative operator:
+    ~0.15 us/grid step, ~8 ps per one-hot unit — large blocks win
+    whenever the window doesn't grow with the block).
 
     Returns None when some row block's column span exceeds ``max_w2``
     (operator not windowable under the current ordering — caller should
     reorder or fall back).
     """
-    candidates = (2048, 1024, 512, 256) if block is None else (int(block),)
+    candidates = ((8192, 4096, 2048, 1024, 512, 256) if block is None
+                  else (int(block),))
     A = sp.csr_matrix(A)
     A.sort_indices()
     n, m = A.shape
@@ -663,6 +667,9 @@ def windowed_from_scipy(A, dtype=jnp.float32, block=None, max_w2=16384):
     for blk in candidates:
         n_pad_c = pad_to(max(n, 1), blk)
         nb = n_pad_c // blk
+        # per-grid-step VMEM guard: data+idx stream double-buffered
+        if k * blk * 8 * 2 > 4 * 2**20:
+            continue
         q = blk // GR
         gm = g_min[: n_pad_c // GR].reshape(nb, q).min(axis=1)
         gM = g_max[: n_pad_c // GR].reshape(nb, q).max(axis=1)
@@ -682,12 +689,10 @@ def windowed_from_scipy(A, dtype=jnp.float32, block=None, max_w2=16384):
                 break
         if w2_c is None:
             continue
-        cost = nb * 1.5e-6 + k * n_pad_c * (2 * w2_c // _LANES) * 15e-12
+        cost = nb * 0.15e-6 + k * n_pad_c * (2 * w2_c // _LANES) * 8e-12
         if best_cost is None or cost < best_cost:
             best = (blk, w2_c, n_pad_c, nb, gm)
             best_cost = cost
-        if w2_c == 1024:
-            break       # candidates descend: biggest minimal-window block
     if best is None:
         return None
     block, w2, n_pad, n_blocks, mins = best
