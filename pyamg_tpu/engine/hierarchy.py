@@ -104,8 +104,15 @@ class DeviceHierarchy:
 
     def coarse_solve(self, bc):
         # coarse_inv is stored padded (nc_pad, nc_pad) with zero rows/cols
-        # beyond nc, so the padded product is exact and shape-stable
-        return self.coarse_inv @ bc
+        # beyond nc, so the padded product is exact and shape-stable.
+        # precision=HIGHEST: under vmap (batched multi-RHS) this matvec
+        # becomes a matmul, and TPU's Precision.DEFAULT would run it as
+        # reduced-precision bf16 MXU passes — measured 2.8e-4 relative
+        # error on the batched V-cycle (round 3) vs 0 with HIGHEST.
+        import jax.lax as lax
+
+        return jnp.dot(self.coarse_inv, bc,
+                       precision=lax.Precision.HIGHEST)
 
 
 def _device_dinv(A_scipy, n_pad, dtype):

@@ -205,8 +205,13 @@ def device_fgmres(matvec, b, x0, tol=1e-8, maxiter=100, M=None, restart=30):
                 proj = lambda M_, v: jnp.sum(M_ * v, axis=1)
                 comb = lambda c_, M_: jnp.sum(c_[:, None] * M_, axis=0)
             else:
-                proj = lambda M_, v: M_ @ v
-                comb = lambda c_, M_: c_ @ M_
+                # HIGHEST: the Gram dots set the Hessenberg entries; TPU
+                # DEFAULT would run them as bf16 passes (the basis reads
+                # are HBM-bound, so exact passes cost nothing measurable)
+                proj = lambda M_, v: jnp.dot(
+                    M_, v, precision=jax.lax.Precision.HIGHEST)
+                comb = lambda c_, M_: jnp.dot(
+                    c_, M_, precision=jax.lax.Precision.HIGHEST)
             h1 = proj(V, w) * mask
             w = w - comb(h1, V)
             h2 = proj(V, w) * mask
@@ -257,7 +262,7 @@ def device_fgmres(matvec, b, x0, tol=1e-8, maxiter=100, M=None, restart=30):
         if dtype == jnp.float64:
             x = x + jnp.sum(y[:, None] * Z, axis=0)   # VPU, not f64-MXU
         else:
-            x = x + y @ Z
+            x = x + jnp.dot(y, Z, precision=lax.Precision.HIGHEST)
         return x, history, it + m, normr
 
     def cond(state):

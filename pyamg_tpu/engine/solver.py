@@ -350,12 +350,12 @@ class DeviceMultilevelSolver:
 
 
 def as_device_solver(ml, dtype=jnp.float32, row_pad=None,
-                     mixed_precision=False):
+                     mixed_precision=False, coarse_cutoff=None):
     """Compile a host MultilevelSolver into a DeviceMultilevelSolver."""
     kwargs = {} if row_pad is None else {"row_pad": row_pad}
     return DeviceMultilevelSolver(
         compile_hierarchy(ml, dtype=dtype, mixed_precision=mixed_precision,
-                          **kwargs))
+                          coarse_cutoff=coarse_cutoff, **kwargs))
 
 
 def profile_cycle(dml, b=None, trace_dir=None, repeats=10, cycle="V"):

@@ -169,11 +169,17 @@ class MultilevelSolver:
     # solve
     # ------------------------------------------------------------------
 
-    def to_device(self, dtype=None, mixed_precision=False, row_pad=None):
+    def to_device(self, dtype=None, mixed_precision=False, row_pad=None,
+                  coarse_cutoff=None):
         """Compile (and cache) this hierarchy for the TPU engine.
 
         Returns a pyamg_tpu.engine.DeviceMultilevelSolver; repeated calls
         with the same options reuse the compiled hierarchy.
+        ``coarse_cutoff=n`` truncates the device hierarchy at the first
+        level with <= n unknowns (dense pinv there) — saves per-cycle
+        tiny-level overhead on deep hierarchies at the cost of exact
+        host-parity of the residual history (see
+        engine.compile_hierarchy).
         """
         from .engine import as_device_solver
         import jax
@@ -185,13 +191,14 @@ class MultilevelSolver:
             # without x64 the arrays silently truncate to f32 and the
             # reported residual history becomes meaningless
             jax.config.update("jax_enable_x64", True)
-        key = (str(jnp.dtype(dtype)), mixed_precision, row_pad)
+        key = (str(jnp.dtype(dtype)), mixed_precision, row_pad,
+               coarse_cutoff)
         cached = self._device_hierarchy
         if cached is not None and cached[0] == key:
             return cached[1]
         dml = as_device_solver(self, dtype=dtype,
                                mixed_precision=mixed_precision,
-                               row_pad=row_pad)
+                               row_pad=row_pad, coarse_cutoff=coarse_cutoff)
         self._device_hierarchy = (key, dml)
         return dml
 

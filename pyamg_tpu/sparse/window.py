@@ -331,13 +331,23 @@ class WindowedELL:
         transfer operators); otherwise per-column matvecs (static
         unroll).  Covers the engine's batched-RHS solves."""
         K = X.shape[1]
+        H = 2 * self.w2 // _LANES
+        # per-call lane cap: the stage-1 intermediate C is (K*H, BLOCK)
+        # f32 resident in VMEM — at block=8192 K=8 H=32 that's 8 MB and
+        # Mosaic OOMs (caught live in round 3's bench).  Large blocks
+        # therefore run the fused kernel over K-chunks instead of
+        # falling back to K separate matvecs (which would re-read
+        # data/idx K times).
+        cap = int(2.5 * 2**20) // max(H * self.block * 4, 1)
+        cap = min(cap, 16, (4 * 2**20) // max(16 * self.w2, 1))
         if (jax.default_backend() == "tpu" and pltpu is not None
                 and self.block % 128 == 0 and self.w2 % 1024 == 0
-                and 2 <= K <= 16
-                # window VMEM: 2 half-window specs x double buffering x
-                # K lanes x w2 f32 elements
-                and 16 * K * self.w2 <= 4 * 2**20):
-            return self._matmat_pallas(X)
+                and K >= 2 and cap >= 2):
+            outs = [self._matmat_pallas(X[:, j: j + cap])
+                    if min(cap, K - j) >= 2
+                    else self._matvec_impl(X[:, j])[:, None]
+                    for j in range(0, K, cap)]
+            return jnp.concatenate(outs, axis=1)
         cols = [self._matvec_impl(X[:, j]) for j in range(K)]
         return jnp.stack(cols, axis=1)
 
@@ -414,11 +424,20 @@ class WindowedELL:
         """A.T @ X: fused K-lane transpose kernel on TPU when the K
         transposed outputs fit VMEM; per-column unroll otherwise."""
         K = X.shape[1]
+        H = 2 * self.w2 // _LANES
+        # lane cap, same VMEM reasoning as matmat: Amat (K*H, BLOCK) f32
+        # plus the K resident transposed outputs (K * m_pad * 4 bytes)
+        cap = int(2.5 * 2**20) // max(H * self.block * 4, 1)
+        cap = min(cap, 16,
+                  (4 * 2**20) // max(self.m_chunks * self.w2 * 4, 1))
         if (jax.default_backend() == "tpu" and pltpu is not None
-                and 2 <= K <= 16 and self.block % 128 == 0
-                and self.w2 % 1024 == 0
-                and K * self.m_chunks * self.w2 * 4 <= 4 * 2**20):
-            return self._rmatmat_pallas(X)
+                and K >= 2 and cap >= 2 and self.block % 128 == 0
+                and self.w2 % 1024 == 0):
+            outs = [self._rmatmat_pallas(X[:, j: j + cap])
+                    if min(cap, K - j) >= 2
+                    else self._rmatvec_impl(X[:, j])[:, None]
+                    for j in range(0, K, cap)]
+            return jnp.concatenate(outs, axis=1)
         cols = [self._rmatvec_impl(X[:, j]) for j in range(K)]
         return jnp.stack(cols, axis=1)
 

@@ -454,3 +454,28 @@ def test_single_level_device_hierarchy():
         res = []
         x = dml.solve(b, tol=1e-6, maxiter=20, accel=accel, residuals=res)
         assert np.linalg.norm(b - A @ x) <= 1e-5 * np.linalg.norm(b)
+
+
+def test_coarse_cutoff_truncation():
+    """compile_hierarchy(coarse_cutoff=n) truncates at the first level
+    with <= n unknowns and solves there exactly (dense pinv); the
+    truncated hierarchy converges at least as fast as the full one."""
+    import pyamg_tpu
+    from pyamg_tpu.gallery import poisson
+
+    A = poisson((64, 64), format="csr")
+    ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=10)
+    assert len(ml.levels) >= 4
+    dml_full = ml.to_device()
+    dml_cut = ml.to_device(coarse_cutoff=600)
+    assert len(dml_cut.hierarchy.levels) < len(dml_full.hierarchy.levels)
+    assert dml_cut.hierarchy.levels[-1].n <= 600
+    b = np.random.default_rng(5).random(A.shape[0])
+    res_f, res_c = [], []
+    dml_full.solve(b, tol=1e-6, maxiter=30, accel="cg", residuals=res_f)
+    dml_cut.solve(b, tol=1e-6, maxiter=30, accel="cg", residuals=res_c)
+    assert res_c[-1] / res_c[0] < 1e-6
+    assert len(res_c) <= len(res_f) + 1
+    # caching key includes the cutoff
+    assert ml.to_device(coarse_cutoff=600) is dml_cut
+    assert ml.to_device() is not dml_cut
