@@ -244,14 +244,36 @@ def _fused_block(data, offsets, x):
     return None
 
 
-def _dia_shifted(xcat, off, B, R, lane):
-    """Shifted view xcat_flat[B + off + i] for i in [0, B) as (R, 128)."""
-    q, r = divmod(B + off, 128)
+def _dia_shifted(xcat, off, base, R, lane):
+    """Shifted view xcat_flat[base + off + i] for i in [0, B) as (R, 128).
+    ``base`` = element offset of the main block inside the halo-extended
+    xcat (= C*128 for chunked halos, B for full-block halos)."""
+    q, r = divmod(base + off, 128)
     if r == 0:
         return xcat[q:q + R]
     t = xcat[q:q + R + 1]
     a = pltpu.roll(t, np.int32(128 - r), axis=1)  # i32: x64 would make i64
     return jnp.where(lane < 128 - r, a[:R], a[1:R + 1])
+
+
+def _halo_chunks(offsets, R, min_rows=8):
+    """Halo chunk sublane-rows C: smallest power of two >= min_rows (8
+    for the f32 Mosaic tile, 16 for bf16) with C*128 >= max|offset|,
+    capped at R.
+
+    Round-3 traffic fix: the fused kernels used to zero-pad x by a FULL
+    block each side and stream three full x blocks per grid step — 3x
+    the x reads plus a whole-array pad materialization (~2n more).  The
+    halo only ever needs max|offset| elements, and the out-of-range DIA
+    slots are structurally ZERO (the same invariant the circular-roll
+    XLA path relies on), so the off-end halo chunks can simply CLAMP to
+    a valid chunk: whatever garbage they read multiplies zero data.
+    """
+    max_off = max(max(offsets), -min(offsets), 1)
+    C = max(int(min_rows), 8)
+    while C * 128 < max_off:
+        C *= 2
+    return min(C, R)
 
 
 def _fused_block_k(data, offsets, X, K):
@@ -280,10 +302,10 @@ def _fused_block_k(data, offsets, X, K):
     return None
 
 
-def _dia_shifted_k(xcat, off, B, R, lane):
-    """Per-lane shifted view of (K, 3R, 128) halo-extended x blocks —
+def _dia_shifted_k(xcat, off, base, R, lane):
+    """Per-lane shifted view of (K, R+2C, 128) halo-extended x blocks —
     _dia_shifted with a leading lane axis (same shift every lane)."""
-    q, r = divmod(B + off, 128)
+    q, r = divmod(base + off, 128)
     if r == 0:
         return xcat[:, q:q + R]
     t = xcat[:, q:q + R + 1]
@@ -299,30 +321,38 @@ def _dia_pallas_matmat(data, offsets, X, B, interpret=False):
     K = X.shape[1]
     nb = n_pad // B
     R = B // 128
+    C = _halo_chunks(offsets, R,
+                     16 if jnp.bfloat16 in (data.dtype, X.dtype) else 8)
+    Q = R // C
     cdtype = jnp.promote_types(data.dtype, X.dtype)
-    x3 = jnp.pad(X.T.reshape(K, -1, 128), ((0, 0), (R, R), (0, 0)))
+    x3 = X.T.reshape(K, -1, 128)    # NO pad: halos clamp (_halo_chunks)
     data3 = data.reshape(nd, n_pad // 128, 128)
 
-    def kernel(xm_ref, xc_ref, xp_ref, d_ref, y_ref):
+    def kernel(xlo_ref, xc_ref, xhi_ref, d_ref, y_ref):
         xcat = jnp.concatenate(
-            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=1)  # (K,3R,128)
+            [xlo_ref[...], xc_ref[...], xhi_ref[...]],
+            axis=1)                                      # (K, R+2C, 128)
         lane = lax.broadcasted_iota(jnp.int32, (1, R, 128), 2)
         acc = jnp.zeros((K, R, 128), dtype=cdtype)
         for d, off in enumerate(offsets):
-            sh = _dia_shifted_k(xcat, off, B, R, lane)
+            sh = _dia_shifted_k(xcat, off, C * 128, R, lane)
             acc = acc + d_ref[d][None].astype(cdtype) * sh.astype(cdtype)
         y_ref[...] = acc
 
     z = np.int32(0)
     one = np.int32(1)
-    two = np.int32(2)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
     y = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec((K, C, 128),
+                         lambda b: (z, jnp.maximum(b * Q32 - one, z), z)),
             pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
-            pl.BlockSpec((K, R, 128), lambda b: (z, b + one, z)),
-            pl.BlockSpec((K, R, 128), lambda b: (z, b + two, z)),
+            pl.BlockSpec((K, C, 128),
+                         lambda b: (z, jnp.minimum(b * Q32 + Q32, last),
+                                    z)),
             pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
         ],
         out_specs=pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
@@ -336,36 +366,43 @@ def _dia_pallas_matvec(data, offsets, x, B, interpret=False):
     nd, n_pad = data.shape
     nb = n_pad // B
     R = B // 128
+    C = _halo_chunks(offsets, R,
+                     16 if jnp.bfloat16 in (data.dtype, x.dtype) else 8)
+    Q = R // C                      # main block = Q halo-chunks
     cdtype = jnp.promote_types(data.dtype, x.dtype)
-    x3 = jnp.pad(x.reshape(-1, 128), ((R, R), (0, 0)))
+    x2 = x.reshape(-1, 128)         # NO pad: halos clamp (see _halo_chunks)
     data3 = data.reshape(nd, n_pad // 128, 128)
 
-    def kernel(xm_ref, xc_ref, xp_ref, d_ref, y_ref):
+    def kernel(xlo_ref, xc_ref, xhi_ref, d_ref, y_ref):
         xcat = jnp.concatenate(
-            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=0)  # (3R, 128)
+            [xlo_ref[...], xc_ref[...], xhi_ref[...]],
+            axis=0)                                        # (R + 2C, 128)
         lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         acc = jnp.zeros((R, 128), dtype=cdtype)
         for d, off in enumerate(offsets):
-            sh = _dia_shifted(xcat, off, B, R, lane)
+            sh = _dia_shifted(xcat, off, C * 128, R, lane)
             acc = acc + d_ref[d].astype(cdtype) * sh.astype(cdtype)
         y_ref[...] = acc
 
     z = np.int32(0)
     one = np.int32(1)
-    two = np.int32(2)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
     y = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec((C, 128),
+                         lambda b: (jnp.maximum(b * Q32 - one, z), z)),
             pl.BlockSpec((R, 128), lambda b: (b, z)),
-            pl.BlockSpec((R, 128), lambda b: (b + one, z)),
-            pl.BlockSpec((R, 128), lambda b: (b + two, z)),
+            pl.BlockSpec((C, 128),
+                         lambda b: (jnp.minimum(b * Q32 + Q32, last), z)),
             pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
         ],
         out_specs=pl.BlockSpec((R, 128), lambda b: (b, z)),
         out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
         interpret=interpret,
-    )(x3, x3, x3, data3)
+    )(x2, x2, x2, data3)
     return y.reshape(-1)
 
 
@@ -383,37 +420,44 @@ def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,
     nd, n_pad = data.shape
     nb = n_pad // B
     R = B // 128
+    C = _halo_chunks(offsets, R,
+                     16 if jnp.bfloat16 in (data.dtype, x.dtype) else 8)
+    Q = R // C
     cdtype = jnp.promote_types(data.dtype, x.dtype)
-    x3 = jnp.pad(x.reshape(-1, 128), ((R, R), (0, 0)))
+    x2 = x.reshape(-1, 128)         # NO pad: halos clamp (see _halo_chunks)
     data3 = data.reshape(nd, n_pad // 128, 128)
     b2 = b.reshape(-1, 128)
     di2 = dinv.reshape(-1, 128)
     om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
 
-    def kernel(om_ref, xm_ref, xc_ref, xp_ref, d_ref, b_ref, di_ref, y_ref):
+    def kernel(om_ref, xlo_ref, xc_ref, xhi_ref, d_ref, b_ref, di_ref,
+               y_ref):
         xcat = jnp.concatenate(
-            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=0)
+            [xlo_ref[...], xc_ref[...], xhi_ref[...]], axis=0)
         lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         acc = jnp.zeros((R, 128), dtype=cdtype)
         for d, off in enumerate(offsets):
-            sh = _dia_shifted(xcat, off, B, R, lane)
+            sh = _dia_shifted(xcat, off, C * 128, R, lane)
             acc = acc + d_ref[d].astype(cdtype) * sh.astype(cdtype)
-        xc = xcat[R:2 * R].astype(cdtype)
+        xc = xcat[C:C + R].astype(cdtype)
         y_ref[...] = xc + om_ref[0, 0] * (
             di_ref[...].astype(cdtype) * (b_ref[...].astype(cdtype) - acc))
 
     z = np.int32(0)
     one = np.int32(1)
-    two = np.int32(2)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
     y = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda b: (z, z),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, 128),
+                         lambda b: (jnp.maximum(b * Q32 - one, z), z)),
             pl.BlockSpec((R, 128), lambda b: (b, z)),
-            pl.BlockSpec((R, 128), lambda b: (b + one, z)),
-            pl.BlockSpec((R, 128), lambda b: (b + two, z)),
+            pl.BlockSpec((C, 128),
+                         lambda b: (jnp.minimum(b * Q32 + Q32, last), z)),
             pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
             pl.BlockSpec((R, 128), lambda b: (b, z)),
             pl.BlockSpec((R, 128), lambda b: (b, z)),
@@ -421,7 +465,7 @@ def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,
         out_specs=pl.BlockSpec((R, 128), lambda b: (b, z)),
         out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
         interpret=interpret,
-    )(om, x3, x3, x3, data3, b2, di2)
+    )(om, x2, x2, x2, data3, b2, di2)
     return y.reshape(-1)
 
 
@@ -445,39 +489,47 @@ def dia_pallas_jacobi_k(A, X, Bc, dinv, omega, interpret=False,
     nd, n_pad = data.shape
     nb = n_pad // Bsz
     R = Bsz // 128
+    C = _halo_chunks(offsets, R,
+                     16 if jnp.bfloat16 in (data.dtype, X.dtype) else 8)
+    Q = R // C
     cdtype = jnp.promote_types(data.dtype, X.dtype)
-    x3 = jnp.pad(X.T.reshape(K, -1, 128), ((0, 0), (R, R), (0, 0)))
+    x3 = X.T.reshape(K, -1, 128)    # NO pad: halos clamp (_halo_chunks)
     b3 = Bc.T.reshape(K, -1, 128)
     data3 = data.reshape(nd, n_pad // 128, 128)
     di2 = dinv.reshape(-1, 128)
     om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
 
-    def kernel(om_ref, xm_ref, xc_ref, xp_ref, d_ref, b_ref, di_ref,
+    def kernel(om_ref, xlo_ref, xc_ref, xhi_ref, d_ref, b_ref, di_ref,
                y_ref):
         xcat = jnp.concatenate(
-            [xm_ref[...], xc_ref[...], xp_ref[...]], axis=1)  # (K,3R,128)
+            [xlo_ref[...], xc_ref[...], xhi_ref[...]],
+            axis=1)                                      # (K, R+2C, 128)
         lane = lax.broadcasted_iota(jnp.int32, (1, R, 128), 2)
         acc = jnp.zeros((K, R, 128), dtype=cdtype)
         for d, off in enumerate(offsets):
-            sh = _dia_shifted_k(xcat, off, Bsz, R, lane)
+            sh = _dia_shifted_k(xcat, off, C * 128, R, lane)
             acc = acc + d_ref[d][None].astype(cdtype) * sh.astype(cdtype)
-        xc = xcat[:, R:2 * R].astype(cdtype)
+        xc = xcat[:, C:C + R].astype(cdtype)
         y_ref[...] = xc + om_ref[0, 0] * (
             di_ref[...][None].astype(cdtype)
             * (b_ref[...].astype(cdtype) - acc))
 
     z = np.int32(0)
     one = np.int32(1)
-    two = np.int32(2)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
     y = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda b: (z, z),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, C, 128),
+                         lambda b: (z, jnp.maximum(b * Q32 - one, z), z)),
             pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
-            pl.BlockSpec((K, R, 128), lambda b: (z, b + one, z)),
-            pl.BlockSpec((K, R, 128), lambda b: (z, b + two, z)),
+            pl.BlockSpec((K, C, 128),
+                         lambda b: (z, jnp.minimum(b * Q32 + Q32, last),
+                                    z)),
             pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
             pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
             pl.BlockSpec((R, 128), lambda b: (b, z)),
