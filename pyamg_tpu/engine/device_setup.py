@@ -356,9 +356,17 @@ class StructuredProlongator:
                 int(np.prod(self.coarse_grid_p)))
 
     def __matmul__(self, xc):
+        # xc may carry SOLVE padding beyond the coarse padded grid (the
+        # power-of-two row padding that makes the fused DIA kernels
+        # engage — see _solve_pad); the grid semantics live in the
+        # leading prod(coarse_grid_p) entries.
+        xc = xc[: int(np.prod(self.coarse_grid_p))]
         xc = _grid_unpad_vec(xc, self.coarse_grid, self.coarse_grid_p)
         t = self.tv * _broadcast_coarse(xc, self.coarse_grid, self.stride,
                                         self.center)
+        nf = int(np.prod(self.fine_grid_p))
+        if self.S.n_pad != nf:
+            t = jnp.pad(t, (0, self.S.n_pad - nf))
         return self.S @ t
 
 
@@ -405,7 +413,9 @@ class StructuredRestrictor:
         return int(np.prod(self.coarse_grid_p))
 
     def __matmul__(self, r):
-        y = self.tv * (self.St @ r)
+        # r arrives at the level's (solve-padded) n_pad = St.n_pad; the
+        # grid semantics live in the leading prod(fine_grid_p) entries
+        y = (self.St @ r)[: int(np.prod(self.fine_grid_p))] * self.tv
         yc = _block_sum(y, self.coarse_grid, self.stride)
         return _grid_pad_vec(yc, self.coarse_grid, self.coarse_grid_p)
 
@@ -630,6 +640,42 @@ def _smoother_wrap(key, arrays):
     raise ValueError(name)
 
 
+def _solve_pad(n):
+    """Solve-phase row padding for structured-pipeline operators.
+
+    The padded-grid layout gives vector lengths like 2049^2 = 4198401,
+    which have no large power-of-two factor — so the fused Pallas DIA
+    kernels' block gate (n_pad % B == 0, B from the power-of-two
+    ladder) never passes and every apply fell back to the ~3x-slower
+    XLA slice path (round-3 profiling: finest SpMV 1.27 ms vs 0.33 ms
+    fused).  Padding large levels to a 32768 multiple costs <=0.8%
+    extra rows (structurally zero, roll-safe) and re-enables the fused
+    kernels.  Levels below the fused-kernel threshold stay exact."""
+    return pad_to(n, 32768) if n >= 65536 else n
+
+
+def _pad_level_solve(A_p, S_op, St_op, pre_arr, post_arr):
+    """TRACED: zero-pad a level's solve-phase operators/smoother arrays
+    to _solve_pad length (grid semantics stay in the leading entries)."""
+    n_old = A_p.n_pad
+    n_solve = _solve_pad(n_old)
+    if n_solve == n_old:
+        return A_p, S_op, St_op, pre_arr, post_arr
+    padw = n_solve - n_old
+
+    def _pad_dia(M):
+        return DIAMatrix(data=jnp.pad(M.data, ((0, 0), (0, padw))),
+                         offsets=M.offsets, shape=M.shape, nnz=M.nnz)
+
+    def _pad_arrs(arrs):
+        return tuple(jnp.pad(a, (0, padw))
+                     if getattr(a, "ndim", 0) == 1 and a.shape[0] == n_old
+                     else a for a in arrs)
+
+    return (_pad_dia(A_p), _pad_dia(S_op), _pad_dia(St_op),
+            _pad_arrs(pre_arr), _pad_arrs(post_arr))
+
+
 @partial(jax.jit, static_argnames=("plan", "omega", "dtype",
                                    "pre_key", "post_key",
                                    "improve_iters"))
@@ -685,7 +731,11 @@ def _setup_pipeline(A_in, B_in=None, *, plan, omega, dtype, pre_key,
         pre_arr = _smoother_device_arrays(pre_key, A_p, dinv, rho, dtype)
         post_arr = _smoother_device_arrays(post_key, A_p, dinv, rho,
                                            dtype)
-        out_levels.append((A_p, S_op, St_op, tv, rho, pre_arr, post_arr))
+        # solve-phase padding (fused-kernel-friendly n_pad); the
+        # PIPELINE continues on the exact-grid operators (cur = A_c)
+        A_sv, S_sv, St_sv, pre_sv, post_sv = _pad_level_solve(
+            A_p, S_op, St_op, pre_arr, post_arr)
+        out_levels.append((A_sv, S_sv, St_sv, tv, rho, pre_sv, post_sv))
         cur = A_c
         B = Bc
     Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
@@ -996,7 +1046,7 @@ def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
         npad_lvl = int(np.prod(grid_p))
         dev_levels.append(DeviceLevel(
             A=A_p, P=P, R=R, pre=pre, post=post, n=npad_lvl,
-            n_pad=npad_lvl))
+            n_pad=int(A_p.n_pad)))
         # rho stays a DEVICE scalar — float() it lazily if you need it
         infos.append({"level": i, "n": npad_lvl, "strides": strides,
                       "ndiags": A_p.ndiags, "rho_D_inv_A": rho})
@@ -1027,4 +1077,9 @@ def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
 
 @partial(jax.jit, static_argnames=("grid", "grid_p"))
 def _relayout_jit(A_in, *, grid, grid_p):
-    return _relayout_dia(A_in, grid, grid_p)
+    M = _relayout_dia(A_in, grid, grid_p)
+    padw = _solve_pad(M.n_pad) - M.n_pad
+    if padw:        # match the f32 hierarchy's solve padding (A64 path)
+        M = DIAMatrix(data=jnp.pad(M.data, ((0, 0), (0, padw))),
+                      offsets=M.offsets, shape=M.shape, nnz=M.nnz)
+    return M
