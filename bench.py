@@ -568,6 +568,7 @@ def main(grid=(2048, 2048), verbose=False):
     summary = {
         "config1": _pick("config1", [
             ("t_vcycle_ms", "t_vcycle_ms"),
+            ("t_vcycle_ds_ms", "t_vcycle_device_setup_ms"),
             ("spmv_gnnz_s", "spmv_gnnz_s"),
             ("setup_dev_s", "setup_device_s"),
             ("t_1e8_s", "time_to_1e8_s"), ("it_1e8", "iters_to_1e8")]),
@@ -588,12 +589,19 @@ def main(grid=(2048, 2048), verbose=False):
         "air_setup_s": detail.get("air", {}).get("setup_device_s"),
     }
 
+    # headline = the FASTEST SA V-cycle the framework offers on this
+    # problem (round 3: the device-built hierarchy overtook the
+    # host-built one); both paths' numbers stay in detail/summary, and
+    # the work basis (host hierarchy cycle_nnz) is identical for both.
+    ds_nnz_s = (cycle_nnz / t_cycle_ds) if t_cycle_ds else 0.0
+    best_nnz_s = max(vcycle_nnz_s, ds_nnz_s)
+    which = "device-built" if ds_nnz_s > vcycle_nnz_s else "host-built"
     result = {
-        "metric": "SA V-cycle throughput (2D Poisson %dx%d, f32, %s)" % (
-            grid[0], grid[1], backend),
-        "value": round(vcycle_nnz_s / 1e9, 4),
+        "metric": "SA V-cycle throughput (2D Poisson %dx%d, f32, %s, "
+                  "%s hierarchy)" % (grid[0], grid[1], backend, which),
+        "value": round(best_nnz_s / 1e9, 4),
         "unit": "Gnnz/s",
-        "vs_baseline": round(vcycle_nnz_s / host_nnz_s, 3),
+        "vs_baseline": round(best_nnz_s / host_nnz_s, 3),
         "detail_file": detail_ref,
         "summary": summary,
     }

@@ -63,10 +63,10 @@ from .device_setup import (StructuredDeviceSolver, _compact_dia,
                            _compact_fine, _dia_spgemm_filtered,
                            _embed_coarse, _grid_pad_vec,
                            _grid_unpad_vec, _ns_pinv, _offset_to_coords,
-                           _padded_grid, _power_rho, _relayout_dia,
-                           _relayout_jit, _smoother_device_arrays,
-                           _smoother_wrap, _spec_key, _tup,
-                           dia_transpose)
+                           _pad_solve_items, _padded_grid, _power_rho,
+                           _relayout_dia, _relayout_jit,
+                           _smoother_device_arrays, _smoother_wrap,
+                           _spec_key, _tup, dia_transpose)
 from .hierarchy import DeviceHierarchy, DeviceLevel
 
 __all__ = ["device_rs_setup", "device_air_setup", "EmbeddedProlongator",
@@ -115,8 +115,14 @@ class EmbeddedProlongator:
                 int(np.prod(self.coarse_grid_p)))
 
     def __matmul__(self, xc):
+        # xc may carry solve padding beyond the coarse padded grid (the
+        # power-of-two row padding enabling the fused DIA kernels)
+        xc = xc[: int(np.prod(self.coarse_grid_p))]
         xc = _grid_unpad_vec(xc, self.coarse_grid, self.coarse_grid_p)
         e = _embed_coarse(xc, self.coarse_grid, self.stride, self.center)
+        nf = int(np.prod(self.fine_grid_p))
+        if self.P_emb.n_pad != nf:
+            e = jnp.pad(e, (0, self.P_emb.n_pad - nf))
         return self.P_emb @ e
 
 
@@ -158,7 +164,7 @@ class EmbeddedRestrictor:
         return int(np.prod(self.coarse_grid_p))
 
     def __matmul__(self, r):
-        y = self.R_emb @ r
+        y = (self.R_emb @ r)[: int(np.prod(self.fine_grid_p))]
         yc = _compact_fine(y, self.coarse_grid, self.stride, self.center)
         return _grid_pad_vec(yc, self.coarse_grid, self.coarse_grid_p)
 
@@ -337,7 +343,8 @@ def _rs_setup_pipeline(A_in, *, plan, dtype, pre_key, post_key):
         rho = _power_rho(A_p, dinv)
         pre_arr = _smoother_device_arrays(pre_key, A_p, dinv, rho, dtype)
         post_arr = _smoother_device_arrays(post_key, A_p, dinv, rho, dtype)
-        out_levels.append((A_p, P_emb, R_emb, rho, pre_arr, post_arr))
+        out_levels.append(_pad_solve_items(
+            A_p.n_pad, (A_p, P_emb, R_emb, rho, pre_arr, post_arr)))
         cur = A_c
     Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
     coarse_inv = _ns_pinv(Ac_dense)
@@ -576,7 +583,8 @@ def _air_setup_pipeline(A_in, *, plan, dtype, f_iterations, c_iterations,
         dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
         fmask = (~cmask) & (diag != 0)
         cmask_r = cmask & (diag != 0)
-        out_levels.append((A_p, P_emb, R_emb, dinv, fmask, cmask_r))
+        out_levels.append(_pad_solve_items(
+            A_p.n_pad, (A_p, P_emb, R_emb, dinv, fmask, cmask_r)))
         cur = A_c
     Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
     coarse_inv = _ns_pinv(Ac_dense)
@@ -677,7 +685,7 @@ def device_air_setup(A, grid=None, dtype=jnp.float32, stride=2,
         npad_lvl = int(np.prod(grid_p))
         dev_levels.append(DeviceLevel(
             A=A_p, P=P, R=R, pre=pre, post=post, n=npad_lvl,
-            n_pad=npad_lvl))
+            n_pad=int(A_p.n_pad)))
         infos.append({"level": i, "n": npad_lvl, "strides": strides,
                       "ndiags": A_p.ndiags})
 
@@ -818,7 +826,7 @@ def device_rs_setup(A, grid=None, dtype=jnp.float32, stride="auto",
         npad_lvl = int(np.prod(grid_p))
         dev_levels.append(DeviceLevel(
             A=A_p, P=P, R=R, pre=pre, post=post, n=npad_lvl,
-            n_pad=npad_lvl))
+            n_pad=int(A_p.n_pad)))
         infos.append({"level": i, "n": npad_lvl, "strides": strides,
                       "ndiags": A_p.ndiags, "rho_D_inv_A": rho})
 

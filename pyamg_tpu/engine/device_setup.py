@@ -654,26 +654,36 @@ def _solve_pad(n):
     return pad_to(n, 32768) if n >= 65536 else n
 
 
+def _pad_solve_items(n_old, items):
+    """TRACED: zero-pad solve-phase pytree items to _solve_pad length.
+
+    Recursively pads fine-grid DIAMatrix operators (data columns) and
+    1-D arrays of length ``n_old`` (diagonal inverses, smoother masks,
+    coefficients of matching length); leaves everything else alone.
+    Grid semantics stay in the leading ``n_old`` entries."""
+    n_solve = _solve_pad(n_old)
+    padw = n_solve - n_old
+    if padw == 0:
+        return tuple(items)
+
+    def p(x):
+        if isinstance(x, DIAMatrix) and x.n_pad == n_old:
+            return DIAMatrix(data=jnp.pad(x.data, ((0, 0), (0, padw))),
+                             offsets=x.offsets, shape=x.shape, nnz=x.nnz)
+        if isinstance(x, (tuple, list)):
+            return tuple(p(e) for e in x)
+        if getattr(x, "ndim", None) == 1 and x.shape[0] == n_old:
+            return jnp.pad(x, (0, padw))
+        return x
+
+    return tuple(p(i) for i in items)
+
+
 def _pad_level_solve(A_p, S_op, St_op, pre_arr, post_arr):
     """TRACED: zero-pad a level's solve-phase operators/smoother arrays
     to _solve_pad length (grid semantics stay in the leading entries)."""
-    n_old = A_p.n_pad
-    n_solve = _solve_pad(n_old)
-    if n_solve == n_old:
-        return A_p, S_op, St_op, pre_arr, post_arr
-    padw = n_solve - n_old
-
-    def _pad_dia(M):
-        return DIAMatrix(data=jnp.pad(M.data, ((0, 0), (0, padw))),
-                         offsets=M.offsets, shape=M.shape, nnz=M.nnz)
-
-    def _pad_arrs(arrs):
-        return tuple(jnp.pad(a, (0, padw))
-                     if getattr(a, "ndim", 0) == 1 and a.shape[0] == n_old
-                     else a for a in arrs)
-
-    return (_pad_dia(A_p), _pad_dia(S_op), _pad_dia(St_op),
-            _pad_arrs(pre_arr), _pad_arrs(post_arr))
+    return _pad_solve_items(A_p.n_pad,
+                            (A_p, S_op, St_op, pre_arr, post_arr))
 
 
 @partial(jax.jit, static_argnames=("plan", "omega", "dtype",
