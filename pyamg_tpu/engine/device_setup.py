@@ -869,20 +869,24 @@ class StructuredDeviceSolver(DeviceMultilevelSolver):
 
     def _encode(self, v):
         """Grid-pad a vector — or an (n, K) column stack (the batched
-        multi-RHS path) — to the padded-grid layout."""
-        v = np.asarray(v)
+        multi-RHS path) — to the padded-grid layout.  Device arrays are
+        re-laid ON DEVICE (reshape+pad, no host round-trip): a D2H pull
+        of a multi-million-unknown vector costs seconds on a relay
+        link."""
+        xp = jnp if isinstance(v, jnp.ndarray) else np
+        v = v if isinstance(v, jnp.ndarray) else np.asarray(v)
         if v.ndim == 2:
             K = v.shape[1]
             v = v.reshape(self.grid + (K,))
             pads = [(0, gp - g)
                     for g, gp in zip(self.grid, self.grid_p)] + [(0, 0)]
-            return np.pad(v, pads).reshape(-1, K)
+            return xp.pad(v, pads).reshape(-1, K)
         v = v.reshape(self.grid)
         pads = [(0, gp - g) for g, gp in zip(self.grid, self.grid_p)]
-        return np.pad(v, pads).reshape(-1)
+        return xp.pad(v, pads).reshape(-1)
 
     def _decode(self, v):
-        v = np.asarray(v)
+        v = v if isinstance(v, jnp.ndarray) else np.asarray(v)
         sl = tuple(slice(0, g) for g in self.grid)
         if v.ndim == 2:
             K = v.shape[1]
