@@ -9,7 +9,8 @@ from .block_setup import (BlockStructuredProlongator,
                           BlockStructuredRestrictor, device_sa_setup_block)
 from .classical_setup import (EmbeddedProlongator, EmbeddedRestrictor,
                               device_air_setup, device_rs_setup)
-from .device_setup import StructuredDeviceSolver, device_sa_setup
+from .device_setup import (StructuredDeviceSolver, device_adaptive_sa_setup,
+                           device_sa_setup)
 from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
 from .krylov import device_bicgstab, device_cg, device_fgmres
 from .solver import DeviceMultilevelSolver, as_device_solver
@@ -24,6 +25,7 @@ __all__ = [
     "device_fgmres",
     "device_air_setup",
     "device_rs_setup",
+    "device_adaptive_sa_setup",
     "device_sa_setup",
     "device_sa_setup_block",
     "EmbeddedProlongator",

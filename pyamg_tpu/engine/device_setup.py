@@ -65,6 +65,7 @@ from .solver import DeviceMultilevelSolver
 
 __all__ = [
     "detect_grid",
+    "device_adaptive_sa_setup",
     "device_sa_setup",
     "StructuredProlongator",
     "StructuredRestrictor",
@@ -1097,3 +1098,79 @@ def _relayout_jit(A_in, *, grid, grid_p):
         M = DIAMatrix(data=jnp.pad(M.data, ((0, 0), (0, padw))),
                       offsets=M.offsets, shape=M.shape, nnz=M.nnz)
     return M
+
+
+def device_adaptive_sa_setup(A, grid=None, stages=2, candidate_iters=8,
+                             cycle_iters=6, seed=0, dtype=jnp.float32,
+                             **kwargs):
+    """Adaptive (alpha-SA) hierarchy construction ON DEVICE.
+
+    The device analog of the reference's staged adaptive setup
+    ([R] pyamg/aggregation/adaptive.py::initial_setup_stage /
+    general_setup_stage, SURVEY.md §2.2):
+
+    - stage 0 (initial): relax B = ones on the homogeneous system
+      A z = 0 (``candidate_iters`` weighted-Jacobi sweeps, on device)
+      and build the single-candidate structured hierarchy from it (the
+      pipeline improves it per level as well);
+    - each further stage (general): expose remaining algebraically-
+      smooth error by running ``cycle_iters`` V-cycles on A z = 0 from
+      a hashed-random start with the CURRENT hierarchy — what survives
+      is exactly the error the hierarchy cannot remove — orthogonalize
+      it against the existing candidates, and rebuild with the grown
+      candidate block through the multi-candidate pipeline
+      (:func:`pyamg_tpu.engine.block_setup.device_sa_setup_block`).
+      Replacing the single candidate instead of ACCUMULATING was
+      measured worse than no adaptivity (round 3) — the reference
+      grows num_candidates for the same reason.
+
+    Everything stays device-resident (candidates never leave the
+    chip).  ``stages`` <= 4 (the block pipeline's candidate cap).
+    Returns the final device solver; ``kwargs`` pass through to the
+    setup calls (which accept grid/stride/max_coarse/... in common).
+    """
+    from .block_setup import device_sa_setup_block
+
+    if not 1 <= int(stages) <= 4:
+        raise ValueError("stages must be in 1..4 (block candidate cap)")
+    A_csr = sp.csr_matrix(A)
+    if grid is None:
+        grid = detect_grid(A_csr)
+    n = A_csr.shape[0]
+    A_dia = dia_from_scipy(A_csr, dtype=dtype, row_pad=1)
+    diag = A_dia.diagonal()
+    dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
+    rho = _power_rho(A_dia, dinv)
+
+    @jax.jit
+    def _relax_ones(A_dia, dinv, rho):
+        z = jnp.where(diag != 0, jnp.ones(n, dtype=dtype), 0)
+        om = 1.0 / jnp.maximum(rho, 1e-30)
+        for _ in range(int(candidate_iters)):
+            z = z - om * (dinv * (A_dia @ z))
+        return z / jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
+
+    cands = [_relax_ones(A_dia, dinv, rho)]
+    dsa = device_sa_setup(A_csr, grid=grid, B=cands[0], dtype=dtype,
+                          improve_candidates_iters=int(candidate_iters),
+                          **kwargs)
+    for s in range(1, int(stages)):
+        z0 = (_hash_weights(n, 9876 + int(seed) + s).astype(dtype)
+              - jnp.asarray(0.5, dtype=dtype))
+        z = dsa.solve(np.zeros(n), x0=z0, tol=0.0,
+                      maxiter=int(cycle_iters), accel=None,
+                      device_out=True)
+        # orthogonalize against the accumulated candidates (the
+        # reference's general_setup_stage projection) and normalize
+        for c in cands:
+            denom = jnp.maximum(jnp.sum(c * c), 1e-30)
+            z = z - (jnp.sum(c * z) / denom) * c
+        z = z / jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
+        cands.append(z)
+        Bstack = jnp.stack(cands, axis=1)
+        dsa = device_sa_setup_block(
+            A_csr, grid=grid, B=Bstack, dtype=dtype,
+            **{k: v for k, v in kwargs.items()
+               if k in ("stride", "max_coarse", "max_levels",
+                        "mixed_precision")})
+    return dsa

@@ -314,3 +314,42 @@ def test_solve_pad_large_level():
     res = []
     dsa.solve(b, tol=1e-5, maxiter=40, accel="cg", residuals=res)
     assert res[-1] / res[0] < 1e-5
+
+
+def test_device_adaptive_sa():
+    """Device alpha-SA (round 3): stage-0 relaxed-ones candidate
+    recovers the rescaled near-nullspace (iters ~ exact-candidate
+    setup); stage 2 ACCUMULATES a cycled-out candidate through the
+    multi-candidate block pipeline and must not regress.  Candidate
+    REPLACEMENT (instead of accumulation) was measured worse than no
+    adaptivity — this test pins the accumulating design."""
+    import scipy.sparse as sp
+
+    from pyamg_tpu.engine import device_adaptive_sa_setup, device_sa_setup
+    from pyamg_tpu.gallery import poisson
+
+    grid = (48, 48)
+    A = poisson(grid, format="csr")
+    rng = np.random.default_rng(0)
+    d = 10.0 ** rng.uniform(-2, 2, A.shape[0])
+    Dh = sp.diags(np.sqrt(d))
+    As = (Dh @ A @ Dh).tocsr()
+    b = rng.random(As.shape[0])
+
+    def iters(ds):
+        res = []
+        ds.solve(b, tol=1e-5, maxiter=80, accel="cg", residuals=res)
+        assert res[-1] / res[0] < 1e-5
+        return len(res) - 1
+
+    i0 = iters(device_sa_setup(As, grid=grid, max_coarse=150))
+    ia1 = iters(device_adaptive_sa_setup(As, grid=grid, max_coarse=150,
+                                         stages=1, candidate_iters=8))
+    ia2 = iters(device_adaptive_sa_setup(As, grid=grid, max_coarse=150,
+                                         stages=2, candidate_iters=8,
+                                         cycle_iters=6))
+    ie = iters(device_sa_setup(As, grid=grid, max_coarse=150,
+                               B=1.0 / np.sqrt(d)))
+    assert ia1 < i0 - 15, (i0, ia1)      # adaptivity recovers the mode
+    assert ia2 <= ia1 + 3, (ia1, ia2)    # accumulation never regresses
+    assert ia1 <= ie + 5, (ia1, ie)      # close to the exact candidate
