@@ -426,10 +426,13 @@ class WindowedELL:
         K = X.shape[1]
         H = 2 * self.w2 // _LANES
         # lane cap, same VMEM reasoning as matmat: Amat (K*H, BLOCK) f32
-        # plus the K resident transposed outputs (K * m_pad * 4 bytes)
+        # plus the K resident transposed outputs (K * m_pad * 4 bytes).
+        # Output budget 6 MB so the 4.2M-row SA tentative operator
+        # (2.8 MB transposed output) still runs 2 lanes fused — at cap 1
+        # the batched restriction re-read data/idx once per lane.
         cap = int(2.5 * 2**20) // max(H * self.block * 4, 1)
         cap = min(cap, 16,
-                  (4 * 2**20) // max(self.m_chunks * self.w2 * 4, 1))
+                  (6 * 2**20) // max(self.m_chunks * self.w2 * 4, 1))
         if (jax.default_backend() == "tpu" and pltpu is not None
                 and K >= 2 and cap >= 2 and self.block % 128 == 0
                 and self.w2 % 1024 == 0):

@@ -308,3 +308,23 @@ def test_air_local_restriction_golden():
         r = np.linalg.solve(M.T, rhs)
         R_gold[c, nbrs] = r
     np.testing.assert_allclose(R_dev, R_gold, atol=1e-11)
+
+
+def test_device_rs_recirc_nonsymmetric():
+    """Device classical RS handles the nonsymmetric recirculating-flow
+    operator (BASELINE config 5's matrix family): multi-pass direct
+    interpolation on the upwind stencil + FGMRES converges.  Round-3
+    measurement at 1024^2 on TPU: setup 1.2 s (vs 13.5 s host
+    energy-min), 43 mixed iters to TRUE 3e-10."""
+    import numpy as np
+
+    from pyamg_tpu.engine import device_rs_setup
+    from pyamg_tpu.gallery import recirc_flow
+
+    A = recirc_flow((64, 64), epsilon=1e-2)
+    b = np.random.default_rng(4).random(A.shape[0])
+    ds = device_rs_setup(A, grid=(64, 64), max_coarse=200)
+    res = []
+    ds.solve(b, tol=1e-6, maxiter=60, accel="fgmres", residuals=res)
+    assert res[-1] / res[0] < 1e-6
+    assert len(res) - 1 < 50
