@@ -1143,14 +1143,16 @@ def device_adaptive_sa_setup(A, grid=None, stages=2, candidate_iters=8,
     rho = _power_rho(A_dia, dinv)
 
     @jax.jit
-    def _relax_ones(A_dia, dinv, rho):
+    def _relax_ones(A_dia, diag, dinv, rho):
+        # everything device-resident flows as a jit ARGUMENT (closure
+        # constants re-upload per call on this backend, CLAUDE.md rule 2)
         z = jnp.where(diag != 0, jnp.ones(n, dtype=dtype), 0)
         om = 1.0 / jnp.maximum(rho, 1e-30)
         for _ in range(int(candidate_iters)):
             z = z - om * (dinv * (A_dia @ z))
         return z / jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
 
-    cands = [_relax_ones(A_dia, dinv, rho)]
+    cands = [_relax_ones(A_dia, diag, dinv, rho)]
     dsa = device_sa_setup(A_csr, grid=grid, B=cands[0], dtype=dtype,
                           improve_candidates_iters=int(candidate_iters),
                           **kwargs)
