@@ -207,8 +207,8 @@ def main(grid=(2048, 2048), verbose=False):
     dml = DeviceMultilevelSolver(compile_hierarchy(ml, dtype=jnp.float32,
                                                  coarse_cutoff=1024))
     n_pad = dml.hierarchy.levels[0].n_pad
-    b = jnp.asarray(np.random.default_rng(0).random(n_pad),
-                    dtype=jnp.float32)
+    b_h = np.random.default_rng(0).random(n_pad)   # host copy: reused
+    b = jnp.asarray(b_h, dtype=jnp.float32)        # below without D2H
 
     rtt = _measure_rtt(jax, jnp)
     note(f"tunnel RTT: {rtt*1e3:.2f} ms")
@@ -227,7 +227,7 @@ def main(grid=(2048, 2048), verbose=False):
     spmv_nnz_s = A.nnz / t_spmv
 
     # host (reference-substrate) V-cycle throughput
-    bh = np.asarray(b)[: A.shape[0]].astype(np.float64)
+    bh = b_h[: A.shape[0]].astype(np.float64)
     xh = np.zeros_like(bh)
     t_host = _median_time(
         lambda: ml.solve(bh, x0=xh, maxiter=1, tol=1e-300, accel=None),
@@ -247,7 +247,7 @@ def main(grid=(2048, 2048), verbose=False):
     float(dsa.hierarchy.coarse_inv[0, 0])     # hard sync incl. D2H
     t_dev_setup = time.perf_counter() - t0
     res_ds = []
-    dsa.solve(np.asarray(b)[: A.shape[0]], tol=1e-5, maxiter=40,
+    dsa.solve(b_h[: A.shape[0]], tol=1e-5, maxiter=40,
               accel="cg", residuals=res_ds)
     # V-cycle throughput of the device-built hierarchy (structured
     # rolled P/R instead of the windowed one-hot kernel)
@@ -464,9 +464,9 @@ def main(grid=(2048, 2048), verbose=False):
     # recirculating-flow stencil (measured conv 0.70 vs the host
     # energy-min hierarchy's 0.645 — competitive at 11x less setup)
     note("config5: classical device setup path...")
+    from pyamg_tpu.engine import device_rs_setup as _drs
+    g5 = (int(np.sqrt(A5.shape[0])),) * 2     # recirc grids are square
     try:
-        from pyamg_tpu.engine import device_rs_setup as _drs
-        g5 = (int(np.sqrt(A5.shape[0])),) * 2
         drs5 = _drs(A5, grid=g5, dtype=jnp.float32, max_coarse=400)
         float(drs5.hierarchy.coarse_inv[0, 0])
         t0 = time.perf_counter()
@@ -539,7 +539,7 @@ def main(grid=(2048, 2048), verbose=False):
         dsa_m = device_sa_setup(A, grid=grid, dtype=jnp.float32,
                                 max_coarse=400, mixed_precision=True)
         t1m, res1m, _ = _timed_device_solve(
-            dsa_m, np.asarray(b)[: A.shape[0]], tol=1e-8, maxiter=100,
+            dsa_m, b_h[: A.shape[0]], tol=1e-8, maxiter=100,
             accel="cg", precision="mixed")
         detail["config1"]["device_setup_time_to_1e8_s"] = round(t1m, 3)
         detail["config1"]["device_setup_iters_to_1e8"] = len(res1m) - 1
@@ -549,8 +549,6 @@ def main(grid=(2048, 2048), verbose=False):
 
     note("phase B: config5 classical device-setup mixed solve...")
     try:
-        from pyamg_tpu.engine import device_rs_setup as _drs
-        g5 = (int(np.sqrt(A5.shape[0])),) * 2
         drs5m = _drs(A5, grid=g5, dtype=jnp.float32, max_coarse=400,
                      mixed_precision=True)
         t5m, res5m, _ = _timed_device_solve(drs5m, b5, tol=1e-8,

@@ -606,12 +606,17 @@ class BlockStructuredDeviceSolver(StructuredDeviceSolver):
         self.bs = int(bs)
 
     def _encode(self, v):
-        v = np.asarray(v).reshape(self.grid + (self.bs,))
+        # device arrays re-lay ON device (reshape+pad) — no host
+        # round-trip; see StructuredDeviceSolver._encode
+        xp = jnp if isinstance(v, jnp.ndarray) else np
+        v = v if isinstance(v, jnp.ndarray) else np.asarray(v)
+        v = v.reshape(self.grid + (self.bs,))
         pads = [(0, gp - g) for g, gp in zip(self.grid, self.grid_p)]
-        return np.pad(v, pads + [(0, 0)]).reshape(-1)
+        return xp.pad(v, pads + [(0, 0)]).reshape(-1)
 
     def _decode(self, v):
-        v = np.asarray(v).reshape(self.grid_p + (self.bs,))
+        v = v if isinstance(v, jnp.ndarray) else np.asarray(v)
+        v = v.reshape(self.grid_p + (self.bs,))
         sl = tuple(slice(0, g) for g in self.grid) + (slice(None),)
         return v[sl].reshape(-1)
 

@@ -649,10 +649,21 @@ def _solve_pad(n):
     kernels' block gate (n_pad % B == 0, B from the power-of-two
     ladder) never passes and every apply fell back to the ~3x-slower
     XLA slice path (round-3 profiling: finest SpMV 1.27 ms vs 0.33 ms
-    fused).  Padding large levels to a 32768 multiple costs <=0.8%
-    extra rows (structurally zero, roll-safe) and re-enables the fused
-    kernels.  Levels below the fused-kernel threshold stay exact."""
-    return pad_to(n, 32768) if n >= 65536 else n
+    fused).  The padding quantum scales with the level so the overhead
+    stays small everywhere (review round 3: a flat 32768 quantum
+    inflated levels just above the 65536 threshold by up to ~50%):
+    32768 at >=2M rows (<=1.6%), 8192 at >=262k (<=3%), 4096 at
+    >=65536 (<=6%; 4096 also covers 3-D stencil offsets, which exceed
+    2048 — the fused gate needs B >= max|offset|).  All padded rows are
+    structurally zero and roll-safe.  Levels below the fused-kernel
+    threshold stay exact."""
+    if n >= 2**21:
+        return pad_to(n, 32768)
+    if n >= 2**18:
+        return pad_to(n, 8192)
+    if n >= 65536:
+        return pad_to(n, 4096)
+    return n
 
 
 def _pad_solve_items(n_old, items):
@@ -1133,6 +1144,12 @@ def device_adaptive_sa_setup(A, grid=None, stages=2, candidate_iters=8,
 
     if not 1 <= int(stages) <= 4:
         raise ValueError("stages must be in 1..4 (block candidate cap)")
+    # an explicit improve_candidates_iters kwarg overrides candidate_iters
+    # for the in-pipeline improvement (and must not collide below)
+    improve = int(kwargs.pop("improve_candidates_iters", candidate_iters))
+    # an initial candidate (the reference's initial_candidates) seeds
+    # stage 0 in place of ones
+    B0 = kwargs.pop("B", None)
     A_csr = sp.csr_matrix(A)
     if grid is None:
         grid = detect_grid(A_csr)
@@ -1142,20 +1159,22 @@ def device_adaptive_sa_setup(A, grid=None, stages=2, candidate_iters=8,
     dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
     rho = _power_rho(A_dia, dinv)
 
+    z_init = (jnp.ones(n, dtype=dtype) if B0 is None
+              else jnp.asarray(np.asarray(B0).ravel()[:n], dtype=dtype))
+
     @jax.jit
-    def _relax_ones(A_dia, diag, dinv, rho):
+    def _relax_init(A_dia, diag, dinv, rho, z):
         # everything device-resident flows as a jit ARGUMENT (closure
         # constants re-upload per call on this backend, CLAUDE.md rule 2)
-        z = jnp.where(diag != 0, jnp.ones(n, dtype=dtype), 0)
+        z = jnp.where(diag != 0, z, 0)
         om = 1.0 / jnp.maximum(rho, 1e-30)
         for _ in range(int(candidate_iters)):
             z = z - om * (dinv * (A_dia @ z))
         return z / jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
 
-    cands = [_relax_ones(A_dia, diag, dinv, rho)]
+    cands = [_relax_init(A_dia, diag, dinv, rho, z_init)]
     dsa = device_sa_setup(A_csr, grid=grid, B=cands[0], dtype=dtype,
-                          improve_candidates_iters=int(candidate_iters),
-                          **kwargs)
+                          improve_candidates_iters=improve, **kwargs)
     for s in range(1, int(stages)):
         z0 = (_hash_weights(n, 9876 + int(seed) + s).astype(dtype)
               - jnp.asarray(0.5, dtype=dtype))
@@ -1173,6 +1192,7 @@ def device_adaptive_sa_setup(A, grid=None, stages=2, candidate_iters=8,
         dsa = device_sa_setup_block(
             A_csr, grid=grid, B=Bstack, dtype=dtype,
             **{k: v for k, v in kwargs.items()
-               if k in ("stride", "max_coarse", "max_levels",
+               if k in ("stride", "max_coarse", "max_levels", "omega",
+                        "presmoother", "postsmoother",
                         "mixed_precision")})
     return dsa

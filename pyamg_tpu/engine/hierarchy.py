@@ -109,10 +109,8 @@ class DeviceHierarchy:
         # becomes a matmul, and TPU's Precision.DEFAULT would run it as
         # reduced-precision bf16 MXU passes — measured 2.8e-4 relative
         # error on the batched V-cycle (round 3) vs 0 with HIGHEST.
-        import jax.lax as lax
-
         return jnp.dot(self.coarse_inv, bc,
-                       precision=lax.Precision.HIGHEST)
+                       precision=jax.lax.Precision.HIGHEST)
 
 
 def _device_dinv(A_scipy, n_pad, dtype):

@@ -302,13 +302,15 @@ def test_solve_pad_large_level():
     from pyamg_tpu.gallery import poisson
 
     assert _solve_pad(4198401) == 4227072      # 2049^2 -> 129*32768
+    assert _solve_pad(467856) == 475136        # mid level -> 8192 quantum
+    assert _solve_pad(66560) == 69632          # small level -> 4096 quantum
     assert _solve_pad(51984) == 51984          # below threshold: exact
 
     A = poisson((256, 260), format="csr")      # 66560 >= 65536
     dsa = device_sa_setup(A, grid=(256, 260), dtype=jnp.float32,
                           max_coarse=200)
     l0 = dsa.hierarchy.levels[0]
-    assert l0.n_pad % 32768 == 0 and l0.n_pad >= l0.n
+    assert l0.n_pad % 4096 == 0 and l0.n_pad >= l0.n
     assert l0.A.n_pad == l0.n_pad
     b = np.random.default_rng(9).random(A.shape[0])
     res = []
