@@ -622,6 +622,15 @@ def device_air_setup(A, grid=None, dtype=jnp.float32, stride=2,
     with ``accel='fgmres'`` (measured at depth 5: 150x/W-cycle,
     1.3e3x first AMLI-3 cycle, 27 vs 22 fgmres iterations to 1e-10)
     or the host ``air_solver``.
+
+    **Scale guidance (measured round 3):** XLA compile time of the
+    fused AIR pipeline grows steeply with level count — a 7-level
+    1024^2 program did not finish compiling in 40 min, while 256^2
+    (4 levels) compiles in ~2 min cold.  For large nonsymmetric
+    problems prefer :func:`device_rs_setup` (recirc 1024^2: 23 s cold /
+    1.2 s warm setup, 43 mixed FGMRES iters to true 3e-10) or cap this
+    pipeline's size; AIR's near-exact advection reductions hold at the
+    sizes it compiles.
     """
     if jnp.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)
