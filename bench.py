@@ -330,12 +330,22 @@ def main(grid=(2048, 2048), verbose=False):
     res_ds2 = []
     dsa2.solve(b2, tol=1e-5, maxiter=40, accel="cg", residuals=res_ds2)
 
+    # device-built W-cycle: rolled structured transfers avoid the 3-D
+    # windowed one-hot tax (a 3-D transfer window spans 3 grid planes)
+    one_w_ds = _make_cycle(len(dsa2.hierarchy.levels), "W")
+    h2ds = dsa2.hierarchy
+    b2ds = jnp.ones(h2ds.levels[0].n_pad, dtype=jnp.float32)
+    t_w_ds = _chained_time(
+        jax, jnp, lambda o, v: one_w_ds(o, jnp.zeros_like(v), v), h2ds,
+        b2ds, k=16)
+
     detail["config2"] = {
         "problem": "3D 7-pt Poisson 64^3, SA + symmetric GS (multicolor), "
                    "W-cycle",
         "n": A2.shape[0], "nnz_finest": int(A2.nnz),
         "t_wcycle_ms": round(t_w * 1e3, 3),
         "wcycle_work_gnnz_s": round(_cycle_nnz(ml2) / t_w / 1e9, 4),
+        "t_wcycle_device_setup_ms": round(t_w_ds * 1e3, 3),
         "setup_device_s": round(t_dev_setup2, 3),
         "device_setup_cg_iters_to_1e-5": len(res_ds2) - 1,
     }
@@ -622,6 +632,7 @@ def main(grid=(2048, 2048), verbose=False):
             ("dev_t_1e8_s", "device_setup_time_to_1e8_s")]),
         "config2": _pick("config2", [
             ("t_wcycle_ms", "t_wcycle_ms"),
+            ("t_wcycle_ds_ms", "t_wcycle_device_setup_ms"),
             ("setup_dev_s", "setup_device_s"),
             ("t_1e8_s", "time_to_1e8_s"), ("conv", "conv_factor")]),
         "config3": _pick("config3", [
