@@ -78,3 +78,39 @@ res = []
 x5 = ds5.solve(rhs5, tol=1e-8, maxiter=20, residuals=res)
 print(f"AIR advection: first cycle drops residual "
       f"{res[0]/max(res[1], 1e-300):.1e}x (near-exact reduction)")
+
+# ---- 6. adaptive SA (alpha-SA): bootstrap the near-nullspace ----------
+# (round 3) When the near-nullspace is unknown — e.g. a diagonally
+# rescaled operator where B=ones is wrong — the adaptive setup finds it
+# on device: stage 0 relaxes ones on A z = 0; further stages expose the
+# error the current hierarchy cannot remove and ACCUMULATE it as extra
+# candidates through the multi-candidate block pipeline.
+import scipy.sparse as sp
+from pyamg_tpu.engine import device_adaptive_sa_setup
+
+A6 = poisson((64, 64), format="csr")
+d6 = 10.0 ** np.random.default_rng(3).uniform(-2, 2, A6.shape[0])
+D6 = sp.diags(np.sqrt(d6))
+A6 = (D6 @ A6 @ D6).tocsr()                   # near-nullspace = D^-1/2
+b6 = np.random.default_rng(5).random(A6.shape[0])
+for label, ds6 in (
+        ("B=ones   ", device_sa_setup(A6, grid=(64, 64), max_coarse=150)),
+        ("adaptive ", device_adaptive_sa_setup(A6, grid=(64, 64),
+                                               max_coarse=150, stages=2))):
+    res = []
+    ds6.solve(b6, tol=1e-6, maxiter=80, accel="cg", residuals=res)
+    print(f"rescaled Poisson, {label}: {len(res)-1} CG iters")
+
+# ---- 7. nonsymmetric device setup (recirculating flow) ----------------
+# (round 3) device_rs_setup also handles nonsymmetric operators: at
+# 1024^2 on TPU it builds in ~0.5 s warm (vs 13-21 s host energy-min)
+# and mixed FGMRES reaches TRUE 3e-10 in ~0.5 s.
+from pyamg_tpu.gallery import recirc_flow
+
+A7 = recirc_flow((128, 128), epsilon=1e-2)
+b7 = np.random.default_rng(6).random(A7.shape[0])
+ds7 = device_rs_setup(A7, grid=(128, 128), max_coarse=400)
+res = []
+ds7.solve(b7, tol=1e-8, maxiter=100, accel="fgmres", residuals=res)
+print(f"recirc flow 128^2 (nonsym): {len(res)-1} FGMRES iters, "
+      f"relres {res[-1]/res[0]:.2e}")
