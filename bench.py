@@ -677,9 +677,14 @@ def main(grid=(2048, 2048), verbose=False):
     ds_nnz_s = (cycle_nnz / t_cycle_ds) if t_cycle_ds else 0.0
     best_nnz_s = max(vcycle_nnz_s, ds_nnz_s)
     which = "device-built" if ds_nnz_s > vcycle_nnz_s else "host-built"
+    # "work-normalized": both paths are credited with the SAME host-
+    # hierarchy cycle_nnz basis (the two hierarchies do different work
+    # per cycle and converge at different rates — this is an effective-
+    # work number, not a per-path bandwidth; ADVICE r3)
     result = {
-        "metric": "SA V-cycle throughput (2D Poisson %dx%d, f32, %s, "
-                  "%s hierarchy)" % (grid[0], grid[1], backend, which),
+        "metric": "SA V-cycle work-normalized throughput (2D Poisson "
+                  "%dx%d, f32, %s, %s hierarchy; host-hierarchy "
+                  "cycle-nnz basis)" % (grid[0], grid[1], backend, which),
         "value": round(best_nnz_s / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(best_nnz_s / host_nnz_s, 3),

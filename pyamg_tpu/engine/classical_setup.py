@@ -63,7 +63,8 @@ from .device_setup import (StructuredDeviceSolver, _compact_dia,
                            _compact_fine, _dia_spgemm_filtered,
                            _embed_coarse, _grid_pad_vec,
                            _grid_unpad_vec, _ns_pinv, _offset_to_coords,
-                           _pad_solve_items, _padded_grid, _power_rho,
+                           _pad_smoother_arrays, _pad_solve_items,
+                           _padded_grid, _power_rho,
                            _relayout_dia, _relayout_jit,
                            _smoother_device_arrays, _smoother_wrap,
                            _spec_key, _tup, dia_transpose)
@@ -344,7 +345,9 @@ def _rs_setup_pipeline(A_in, *, plan, dtype, pre_key, post_key):
         pre_arr = _smoother_device_arrays(pre_key, A_p, dinv, rho, dtype)
         post_arr = _smoother_device_arrays(post_key, A_p, dinv, rho, dtype)
         out_levels.append(_pad_solve_items(
-            A_p.n_pad, (A_p, P_emb, R_emb, rho, pre_arr, post_arr)))
+            A_p.n_pad, (A_p, P_emb, R_emb, rho))
+            + (_pad_smoother_arrays(pre_key, pre_arr, A_p.n_pad),
+               _pad_smoother_arrays(post_key, post_arr, A_p.n_pad)))
         cur = A_c
     Ac_dense = cur @ jnp.eye(cur.n_pad, dtype=dtype)
     coarse_inv = _ns_pinv(Ac_dense)
@@ -583,6 +586,9 @@ def _air_setup_pipeline(A_in, *, plan, dtype, f_iterations, c_iterations,
         dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0)
         fmask = (~cmask) & (diag != 0)
         cmask_r = cmask & (diag != 0)
+        # dinv/fmask/cmask_r are all zero-pad-identity per-row arrays
+        # (padded rows are structurally absent), satisfying the
+        # _pad_solve_items contract
         out_levels.append(_pad_solve_items(
             A_p.n_pad, (A_p, P_emb, R_emb, dinv, fmask, cmask_r)))
         cur = A_c

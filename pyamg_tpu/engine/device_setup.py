@@ -670,9 +670,16 @@ def _pad_solve_items(n_old, items):
     """TRACED: zero-pad solve-phase pytree items to _solve_pad length.
 
     Recursively pads fine-grid DIAMatrix operators (data columns) and
-    1-D arrays of length ``n_old`` (diagonal inverses, smoother masks,
-    coefficients of matching length); leaves everything else alone.
-    Grid semantics stay in the leading ``n_old`` entries."""
+    1-D arrays of length ``n_old``; grid semantics stay in the leading
+    ``n_old`` entries.  CONTRACT (ADVICE r3): every per-row array that
+    reaches this function must have ZERO as its pad identity (diagonal
+    inverses and C/F masks satisfy this — padded rows are structurally
+    absent); an array whose pad identity is nonzero (e.g. a
+    multiplicative factor needing ones) must be padded by the caller
+    BEFORE entering.  Smoother arrays never pass through here: they are
+    padded by :func:`_pad_smoother_arrays` under explicit per-spec
+    roles, so a non-row array (chebyshev coefficient stack, scalar
+    omega) can never be length-matched by accident."""
     n_solve = _solve_pad(n_old)
     padw = n_solve - n_old
     if padw == 0:
@@ -691,11 +698,49 @@ def _pad_solve_items(n_old, items):
     return tuple(p(i) for i in items)
 
 
-def _pad_level_solve(A_p, S_op, St_op, pre_arr, post_arr):
+def _smoother_pad_mask(key):
+    """Explicit per-entry roles for _smoother_device_arrays output:
+    True = per-row vector (zero-pad to solve length), False = leave
+    untouched (scalar omegas, chebyshev coefficient stacks).  Keyed by
+    smoother name so a future smoother whose arrays need a nonzero pad
+    identity fails loudly here instead of being shape-duck-typed into
+    silent corruption (ADVICE r3)."""
+    if key is None:
+        return ()
+    name = key[0]
+    if name == "jacobi":
+        return (True, False)       # (dinv per-row, omega scalar)
+    if name == "richardson":
+        return (False,)            # (omega scalar,)
+    if name == "chebyshev":
+        return (False,)            # (coefficient stack, degree-length)
+    raise ValueError(f"no pad-role entry for smoother {name!r}")
+
+
+def _pad_smoother_arrays(key, arrays, n_old):
+    """TRACED: zero-pad ONLY the per-row smoother arrays (explicit
+    roles via _smoother_pad_mask; zero is the pad identity for every
+    per-row array produced today — dinv of structurally-absent rows)."""
+    mask = _smoother_pad_mask(key)
+    if len(mask) != len(arrays):
+        raise ValueError(
+            f"smoother {key!r}: expected {len(mask)} arrays, "
+            f"got {len(arrays)}")
+    padw = _solve_pad(n_old) - n_old
+    if padw == 0:
+        return tuple(arrays)
+    return tuple(jnp.pad(a, (0, padw)) if m else a
+                 for m, a in zip(mask, arrays))
+
+
+def _pad_level_solve(A_p, S_op, St_op, pre_arr, post_arr, pre_key,
+                     post_key):
     """TRACED: zero-pad a level's solve-phase operators/smoother arrays
     to _solve_pad length (grid semantics stay in the leading entries)."""
-    return _pad_solve_items(A_p.n_pad,
-                            (A_p, S_op, St_op, pre_arr, post_arr))
+    A_sv, S_sv, St_sv = _pad_solve_items(A_p.n_pad, (A_p, S_op, St_op))
+    return (A_sv, S_sv, St_sv,
+            _pad_smoother_arrays(pre_key, pre_arr, A_p.n_pad),
+            _pad_smoother_arrays(post_key, post_arr, A_p.n_pad))
 
 
 @partial(jax.jit, static_argnames=("plan", "omega", "dtype",
@@ -756,7 +801,7 @@ def _setup_pipeline(A_in, B_in=None, *, plan, omega, dtype, pre_key,
         # solve-phase padding (fused-kernel-friendly n_pad); the
         # PIPELINE continues on the exact-grid operators (cur = A_c)
         A_sv, S_sv, St_sv, pre_sv, post_sv = _pad_level_solve(
-            A_p, S_op, St_op, pre_arr, post_arr)
+            A_p, S_op, St_op, pre_arr, post_arr, pre_key, post_key)
         out_levels.append((A_sv, S_sv, St_sv, tv, rho, pre_sv, post_sv))
         cur = A_c
         B = Bc
@@ -1186,7 +1231,16 @@ def device_adaptive_sa_setup(A, grid=None, stages=2, candidate_iters=8,
         for c in cands:
             denom = jnp.maximum(jnp.sum(c * c), 1e-30)
             z = z - (jnp.sum(c * z) / denom) * c
-        z = z / jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
+        zmax = float(jnp.max(jnp.abs(z)))
+        if zmax < 1e-10:
+            # degenerate-candidate guard (ADVICE r3 / reference
+            # adaptive.py analog): the current hierarchy fully removed
+            # the probe error, or orthogonalization annihilated z — an
+            # (effectively) zero candidate would feed a rank-deficient
+            # tentative fit (NaNs); keep the previous solver.  The probe
+            # starts at O(1) magnitude, so 1e-10 is a relative floor.
+            break
+        z = z / zmax
         cands.append(z)
         Bstack = jnp.stack(cands, axis=1)
         dsa = device_sa_setup_block(

@@ -63,6 +63,31 @@ def test_dia_pallas_jacobi_interpret():
     np.testing.assert_allclose(got_dyn, want, atol=2e-6)
 
 
+def test_dia_pallas_single_rhs_chunked_halo_interpret():
+    """Q>1 chunked-halo indexing and end clamping of the SINGLE-RHS
+    fused kernels: force_B=8192 on a 512^2 operator gives R=64 sublane
+    rows per block with C=8 halo chunks (Q=8), so the clamped lo/hi halo
+    chunk reads are exercised at both array ends (the B=1024 cases above
+    have C==R, Q=1; only the K-lane variants covered Q>1 — ADVICE r3)."""
+    A = poisson((512, 512), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32)
+    assert D.n_pad % 8192 == 0
+    rng = np.random.default_rng(13)
+    x = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    b = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    want = np.asarray(D.matvec(x))          # slice/roll reference path
+    got = np.asarray(_dia_pallas_matvec(D.data, D.offsets, x, 8192,
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    wantj = np.asarray(x + 0.85 * (dinv * (b - D.matvec(x))))
+    gotj = np.asarray(dia_pallas_jacobi(D, x, b, dinv, 0.85,
+                                        interpret=True, force_B=8192))
+    np.testing.assert_allclose(gotj, wantj, atol=3e-6)
+
+
 @pytest.mark.parametrize("block", [256, 1024, 2048])
 def test_windowed_v2_forward_interpret(block):
     """v2 forward one-hot kernel == scipy, multiple row-block sizes."""
