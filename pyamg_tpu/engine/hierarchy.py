@@ -443,9 +443,17 @@ def _transfer_operator(M, dtype, row_pad, fac=None, A_dev=None,
     """Device form of a prolongator (fine-rows transfer operator): dense
     when small, else factored S^d·T when the host smoother recorded the
     factorization, else adaptive-block windowed (narrow fine-row
-    windows)."""
+    windows).  Complex transfers take the re/im-split windowed form —
+    four real Pallas passes (sparse/window.py::ComplexWindowed)."""
     if max(M.shape) <= 2048:
         return dense_from_scipy(M, dtype=dtype, row_pad=row_pad)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        from ..sparse import complex_windowed_from_scipy
+
+        W = complex_windowed_from_scipy(M, dtype=dtype)
+        if W is not None:
+            return W
+        return select_operator(M, dtype=dtype, row_pad=row_pad)
     F = _factored_transfer(M, fac, A_dev, A_host, dtype, row_pad)
     if F is not None:
         return F
@@ -479,6 +487,8 @@ def _restriction_operator(R, P, P_dev, dtype, row_pad, fac=None,
     """
     if max(R.shape) <= 2048:
         return dense_from_scipy(R, dtype=dtype, row_pad=row_pad)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return _complex_restriction_operator(R, P, P_dev, dtype, row_pad)
     from ..sparse.composed import ComposedOperator
 
     if (isinstance(P_dev, ComposedOperator)
@@ -502,6 +512,39 @@ def _restriction_operator(R, P, P_dev, dtype, row_pad, fac=None,
     if Wt is not None and Wt._can_transpose_pallas():
         return TransposedWindowed(Wt)
     W = windowed_from_scipy(R, dtype=dtype)
+    if W is not None:
+        return W
+    return select_operator(R, dtype=dtype, row_pad=row_pad)
+
+
+def _matches_transpose(R, P, conj):
+    """R == P^H (conj=True) or P^T (conj=False) to rounding."""
+    Pc = sp.csr_matrix(P)
+    if P is None or R.shape != Pc.shape[::-1]:
+        return False
+    T = Pc.conj().T if conj else Pc.T
+    D = (R - T).tocsr()
+    scale = max(np.abs(R.data).max() if R.nnz else 0.0, 1e-300)
+    return D.nnz == 0 or np.abs(D.data).max() <= 1e-14 * scale
+
+
+def _complex_restriction_operator(R, P, P_dev, dtype, row_pad):
+    """Complex restriction (VERDICT r3 item 9): share P's re/im-split
+    arrays through the real transpose kernels when R == P^H (hermitian
+    hierarchies) or P^T ('symmetric' complex symmetry); else build
+    windowed(R^T) split form; else select_operator fallback."""
+    from ..sparse import (ComplexTransposedWindowed, ComplexWindowed,
+                          complex_windowed_from_scipy)
+
+    if isinstance(P_dev, ComplexWindowed) and P_dev._can_transpose_pallas():
+        for conj in (True, False):
+            if _matches_transpose(R, P, conj):
+                return ComplexTransposedWindowed(base=P_dev, conj=conj)
+    Rt = sp.csr_matrix(R).T.tocsr()        # plain transpose: apply via ^T
+    Wt = complex_windowed_from_scipy(Rt, dtype=dtype)
+    if Wt is not None and Wt._can_transpose_pallas():
+        return ComplexTransposedWindowed(base=Wt, conj=False)
+    W = complex_windowed_from_scipy(R, dtype=dtype)
     if W is not None:
         return W
     return select_operator(R, dtype=dtype, row_pad=row_pad)

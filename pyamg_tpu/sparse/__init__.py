@@ -3,8 +3,9 @@
 from .dia import (DenseOperator, DIAMatrix, dense_from_scipy,
                   dia_from_scipy, dia_from_stencil, dia_spgemm)
 from .block_dia import BlockDIAMatrix, block_dia_from_scipy
-from .window import (TransposedWindowed, WindowedELL,
-                     windowed_from_scipy)
+from .window import (ComplexTransposedWindowed, ComplexWindowed,
+                     TransposedWindowed, WindowedELL,
+                     complex_windowed_from_scipy, windowed_from_scipy)
 from .formats import (
     BlockELLMatrix,
     ELLMatrix,
@@ -38,7 +39,12 @@ def select_operator(A, dtype=None, row_pad=8, dense_threshold=2048,
                              max_diags=max_diags)
         if dia is not None:
             return dia
-    win = windowed_from_scipy(A, dtype=dtype)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        # complex windowed operators take the re/im-split form — the
+        # Pallas one-hot kernels are real-only (sparse/window.py)
+        win = complex_windowed_from_scipy(A, dtype=dtype)
+    else:
+        win = windowed_from_scipy(A, dtype=dtype)
     if win is not None:
         return win
     # last resort: gather ELL (fast path only off-TPU; on TPU an XLA
@@ -54,7 +60,10 @@ def select_operator(A, dtype=None, row_pad=8, dense_threshold=2048,
 __all__ = [
     "BlockDIAMatrix",
     "BlockELLMatrix",
+    "ComplexTransposedWindowed",
+    "ComplexWindowed",
     "block_dia_from_scipy",
+    "complex_windowed_from_scipy",
     "DenseOperator",
     "DIAMatrix",
     "ELLMatrix",

@@ -44,9 +44,16 @@ except ImportError:  # pragma: no cover
 
 from .formats import pad_to
 
-__all__ = ["WindowedELL", "TransposedWindowed", "windowed_from_scipy"]
+__all__ = ["WindowedELL", "TransposedWindowed", "windowed_from_scipy",
+           "ComplexWindowed", "ComplexTransposedWindowed",
+           "complex_windowed_from_scipy"]
 
 _LANES = 128
+
+# dtypes the Pallas kernels support (Mosaic vectors; complex must take
+# the re/im-split ComplexWindowed wrapper, f64 uses the HIGHEST path)
+_PALLAS_DTYPES = (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+                  jnp.dtype(jnp.float64))
 
 
 def _split3_bf16(x):
@@ -124,13 +131,15 @@ class WindowedELL:
 
     def _matvec_impl(self, x):
         if (jax.default_backend() == "tpu" and pltpu is not None
-                and self.block % 128 == 0 and self.w2 % 1024 == 0):
+                and self.block % 128 == 0 and self.w2 % 1024 == 0
+                and jnp.dtype(self.dtype) in _PALLAS_DTYPES):
             return self._matvec_pallas(x)
         return self._matvec_reference(x)
 
     def _can_transpose_pallas(self):
         return (self.block % 128 == 0 and self.w2 % 1024 == 0
-                and self.m_chunks * self.w2 * 4 <= 6 * 2**20)
+                and self.m_chunks * self.w2 * 4 <= 6 * 2**20
+                and jnp.dtype(self.dtype) in _PALLAS_DTYPES)
 
     def _matvec_reference(self, x):
         """Gather-based fallback (CPU tests; NEVER traced on TPU)."""
@@ -342,6 +351,7 @@ class WindowedELL:
         cap = min(cap, 16, (4 * 2**20) // max(16 * self.w2, 1))
         if (jax.default_backend() == "tpu" and pltpu is not None
                 and self.block % 128 == 0 and self.w2 % 1024 == 0
+                and jnp.dtype(self.dtype) in _PALLAS_DTYPES
                 and K >= 2 and cap >= 2):
             outs = [self._matmat_pallas(X[:, j: j + cap])
                     if min(cap, K - j) >= 2
@@ -435,7 +445,8 @@ class WindowedELL:
                   (6 * 2**20) // max(self.m_chunks * self.w2 * 4, 1))
         if (jax.default_backend() == "tpu" and pltpu is not None
                 and K >= 2 and cap >= 2 and self.block % 128 == 0
-                and self.w2 % 1024 == 0):
+                and self.w2 % 1024 == 0
+                and jnp.dtype(self.dtype) in _PALLAS_DTYPES):
             outs = [self._rmatmat_pallas(X[:, j: j + cap])
                     if min(cap, K - j) >= 2
                     else self._rmatvec_impl(X[:, j])[:, None]
@@ -632,6 +643,168 @@ def _windowed_rmatvec_rule(axis_size, in_batched, A, x):
     _cv_unbatched_operator(A_b)
     assert x_b, "rule invoked with no batched operand"
     return jnp.moveaxis(A.rmatmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
+
+
+# ---------------------------------------------------------------------------
+# complex transfer operators: re/im split over REAL windowed kernels
+# ---------------------------------------------------------------------------
+
+def _cdtype_of(re_dtype):
+    return (jnp.complex64 if jnp.dtype(re_dtype) == jnp.float32
+            else jnp.complex128)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ComplexWindowed:
+    """Re/im-split complex windowed operator (round 4, VERDICT item 9).
+
+    The Pallas one-hot kernels are real-only (Mosaic has no complex
+    vectors), so a complex transfer operator A = Ar + i*Ai is stored as
+    two REAL WindowedELL parts sharing ONE geometry (same idx/starts
+    device buffers — the split happens after conversion, so patterns
+    match structurally) and applied with four real kernel passes:
+
+        A @ x = (Ar xr - Ai xi) + i (Ar xi + Ai xr).
+
+    This keeps gauge-Laplacian-class hierarchies (SURVEY.md §2.3
+    gallery, complex Hermitian) on the fast gather-free device path.
+    Reference counterpart: scipy complex csr_matvec (SURVEY.md §3.2)."""
+
+    re: WindowedELL
+    im: WindowedELL
+
+    def tree_flatten(self):
+        return (self.re, self.im), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(re=children[0], im=children[1])
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def nnz(self):
+        return self.re.nnz
+
+    @property
+    def n_pad(self):
+        return self.re.n_pad
+
+    @property
+    def dtype(self):
+        return _cdtype_of(self.re.dtype)
+
+    def _can_transpose_pallas(self):
+        return self.re._can_transpose_pallas()
+
+    def matvec(self, x):
+        xr, xi = jnp.real(x), jnp.imag(x)
+        yr = self.re.matvec(xr) - self.im.matvec(xi)
+        yi = self.re.matvec(xi) + self.im.matvec(xr)
+        return lax.complex(yr, yi)
+
+    def rmatvec(self, x):
+        """A.T @ x (plain transpose — conjugation is the wrapper's job)."""
+        xr, xi = jnp.real(x), jnp.imag(x)
+        yr = self.re.rmatvec(xr) - self.im.rmatvec(xi)
+        yi = self.re.rmatvec(xi) + self.im.rmatvec(xr)
+        return lax.complex(yr, yi)
+
+    def matmat(self, X):
+        cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)
+
+    def __matmul__(self, x):
+        if x.ndim != 1:
+            return self.matmat(x)
+        return self.matvec(x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ComplexTransposedWindowed:
+    """Lazy (conjugate-)transpose of a ComplexWindowed.
+
+    The complex restriction form: R = P^H (hermitian hierarchies,
+    ``conj=True``) or R = P^T (``conj=False``) applied backwards through
+    the real Pallas transpose kernels, sharing P's device arrays —
+    the complex analog of :class:`TransposedWindowed`.
+
+        P^H x = (Ar^T xr + Ai^T xi) + i (Ar^T xi - Ai^T xr)
+        P^T x = (Ar^T xr - Ai^T xi) + i (Ar^T xi + Ai^T xr)
+    """
+
+    base: ComplexWindowed
+    conj: bool
+
+    def tree_flatten(self):
+        return (self.base,), (self.conj,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(base=children[0], conj=aux[0])
+
+    @property
+    def shape(self):
+        return (self.base.shape[1], self.base.shape[0])
+
+    @property
+    def nnz(self):
+        return self.base.nnz
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def n_pad(self):
+        return self.base.re.m_chunks * self.base.re.w2
+
+    def matvec(self, x):
+        need = self.base.n_pad
+        if x.shape[0] < need:
+            x = jnp.pad(x, (0, need - x.shape[0]))
+        elif x.shape[0] > need:
+            x = x[:need]
+        xr, xi = jnp.real(x), jnp.imag(x)
+        s = 1.0 if self.conj else -1.0   # P^H = Ar^T - i Ai^T
+        yr = self.base.re.rmatvec(xr) + s * self.base.im.rmatvec(xi)
+        yi = self.base.re.rmatvec(xi) - s * self.base.im.rmatvec(xr)
+        return lax.complex(yr, yi)
+
+    def matmat(self, X):
+        cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)
+
+    def __matmul__(self, x):
+        if x.ndim != 1:
+            return self.matmat(x)
+        return self.matvec(x)
+
+
+def complex_windowed_from_scipy(A, dtype=jnp.complex64, block=None,
+                                max_w2=16384):
+    """Build a ComplexWindowed from a complex scipy sparse matrix.
+
+    Converts ONCE on the full complex pattern (so both parts share
+    geometry: block, w2, starts, idx), then splits the data into real
+    WindowedELL parts.  Returns None when not windowable."""
+    rdtype = (jnp.float32 if jnp.dtype(dtype) == jnp.complex64
+              else jnp.float64)
+    W = windowed_from_scipy(A, dtype=dtype, block=block, max_w2=max_w2)
+    if W is None:
+        return None
+
+    def part(data):
+        return WindowedELL(data=data, idx=W.idx, starts=W.starts,
+                           shape=W.shape, block=W.block, w2=W.w2,
+                           m_chunks=W.m_chunks, nnz=W.nnz)
+
+    return ComplexWindowed(re=part(jnp.real(W.data).astype(rdtype)),
+                           im=part(jnp.imag(W.data).astype(rdtype)))
 
 
 def windowed_from_scipy(A, dtype=jnp.float32, block=None, max_w2=16384):

@@ -130,3 +130,72 @@ def test_complex_device_solve():
     # jacobi is order-free: histories match to rounding
     m = min(len(res_h), len(res_d))
     np.testing.assert_allclose(res_d[:m], res_h[:m], rtol=1e-8)
+
+
+def test_complex_windowed_split_device_solve():
+    """LARGE complex hierarchy (gauge Laplacian 64^2): transfers compile
+    to the re/im-SPLIT windowed forms (four real Pallas passes on TPU —
+    the real-only one-hot kernels never see complex data), with R
+    sharing P's arrays through ComplexTransposedWindowed(conj=True) on
+    the hermitian hierarchy, and the device solve matches the host
+    history (VERDICT r3 item 9)."""
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine import as_device_solver
+    from pyamg_tpu.sparse import ComplexTransposedWindowed, ComplexWindowed
+
+    A = gauge_laplacian(64, beta=0.05).tocsr()   # n = 4096 > dense cutoff
+    ml = pyamg_tpu.smoothed_aggregation_solver(
+        A, symmetry="hermitian",
+        presmoother=("jacobi", {"omega": 4.0 / 3.0}),
+        postsmoother=("jacobi", {"omega": 4.0 / 3.0}))
+    dml = as_device_solver(ml, dtype=jnp.complex128, row_pad=8)
+
+    big = [lvl for lvl in dml.hierarchy.levels[:-1]
+           if max(lvl.P.shape) > 2048]
+    assert big, "expected at least one windowed-scale level"
+    for lvl in big:
+        assert isinstance(lvl.P, ComplexWindowed)
+        assert isinstance(lvl.R, ComplexTransposedWindowed)
+        assert lvl.R.conj and lvl.R.base is lvl.P   # R = P^H shares P
+
+    rng = np.random.default_rng(0)
+    b = rng.random(A.shape[0]) + 1j * rng.random(A.shape[0])
+    res_h, res_d = [], []
+    ml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res_h)
+    x = dml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res_d)
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+    m = min(len(res_h), len(res_d))
+    np.testing.assert_allclose(res_d[:m], res_h[:m], rtol=1e-8)
+
+
+def test_complex_transposed_windowed_parity():
+    """ComplexWindowed / ComplexTransposedWindowed applies == scipy for
+    a random complex rectangular operator (both conj flags)."""
+    import jax.numpy as jnp
+
+    from pyamg_tpu.sparse import complex_windowed_from_scipy
+
+    rng = np.random.default_rng(5)
+    n, m, per_row = 4096, 1500, 3
+    rows = np.repeat(np.arange(n), per_row)
+    cols = np.clip((rows * m) // n
+                   + rng.integers(-40, 41, len(rows)), 0, m - 1)
+    vals = rng.standard_normal(len(rows)) + 1j * rng.standard_normal(
+        len(rows))
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, m))
+    W = complex_windowed_from_scipy(P, dtype=jnp.complex128)
+    assert W is not None
+    x = rng.random(W.re.m_chunks * W.re.w2) * (1 + 0j)
+    x += 1j * rng.random(W.re.m_chunks * W.re.w2)
+    got = np.asarray(W.matvec(jnp.asarray(x)))[:n]
+    np.testing.assert_allclose(got, P @ x[:m], rtol=1e-12, atol=1e-12)
+
+    from pyamg_tpu.sparse import ComplexTransposedWindowed
+
+    r = rng.random(n) + 1j * rng.random(n)
+    for conj in (True, False):
+        T = ComplexTransposedWindowed(base=W, conj=conj)
+        want = (P.conj().T if conj else P.T) @ r
+        got_t = np.asarray(T.matvec(jnp.asarray(r)))[:m]
+        np.testing.assert_allclose(got_t, want, rtol=1e-12, atol=1e-12)
