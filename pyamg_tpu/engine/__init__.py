@@ -12,7 +12,9 @@ from .classical_setup import (EmbeddedProlongator, EmbeddedRestrictor,
 from .device_setup import (StructuredDeviceSolver, device_adaptive_sa_setup,
                            device_sa_setup)
 from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
-from .krylov import device_bicgstab, device_cg, device_fgmres
+from .krylov import (device_bicgstab, device_cg, device_cgne,
+                     device_cgnr, device_cr, device_fgmres, device_gmres,
+                     device_minimal_residual, device_steepest_descent)
 from .solver import DeviceMultilevelSolver, as_device_solver
 
 __all__ = [
@@ -22,7 +24,13 @@ __all__ = [
     "compile_hierarchy",
     "device_bicgstab",
     "device_cg",
+    "device_cgne",
+    "device_cgnr",
+    "device_cr",
     "device_fgmres",
+    "device_gmres",
+    "device_minimal_residual",
+    "device_steepest_descent",
     "device_air_setup",
     "device_rs_setup",
     "device_adaptive_sa_setup",

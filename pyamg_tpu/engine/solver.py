@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from ..sparse import pad_vector
 from .hierarchy import DeviceHierarchy, compile_hierarchy
 from .krylov import (_freeze, _hist_set, _norm, _vdot, device_bicgstab,
-                     device_cg, device_fgmres)
+                     device_cg, device_cgne, device_cgnr, device_cr,
+                     device_fgmres, device_gmres,
+                     device_minimal_residual, device_steepest_descent)
 
 __all__ = ["DeviceMultilevelSolver", "as_device_solver"]
 
@@ -139,17 +141,21 @@ class DeviceMultilevelSolver:
                 n_pad = h.levels[0].n_pad
                 a64_pad = getattr(h.A64, "n_pad", n_pad)
                 matvec = lambda v: _fitv(h.A64 @ _fitv(v, a64_pad), n_pad)
+                rmatvec = lambda v: _fitv(
+                    h.A64.rmatvec(_fitv(v, a64_pad)), n_pad)
                 precond = lambda r: one_cycle(
                     h, jnp.zeros(r.shape, dtype=cycle_dtype),
                     r.astype(cycle_dtype)).astype(r.dtype)
             else:
                 matvec = lambda v: h.levels[0].A @ v
+                rmatvec = lambda v: _fitv(h.levels[0].A.rmatvec(v),
+                                          v.shape[0])
                 precond = lambda r: one_cycle(h, jnp.zeros_like(r), r)
-            return matvec, precond
+            return matvec, rmatvec, precond
 
         if accel is None:
             def run(h, b, x0, tol):
-                matvec, _ = mk_ops(h, h.dtype)
+                matvec, _, _ = mk_ops(h, h.dtype)
                 rtol = tol * jnp.where(_norm(b) == 0, 1.0, _norm(b))
                 r = b - matvec(x0)
                 normr = _norm(r)
@@ -178,21 +184,38 @@ class DeviceMultilevelSolver:
                 it, x, normr, history = jax.lax.while_loop(
                     cond, body, (jnp.asarray(0), x0, normr, history))
                 return x, history, it
-        elif accel == "cg":
+        elif accel in ("cg", "bicgstab", "cr", "minimal_residual",
+                       "steepest_descent"):
+            fn_k = {"cg": device_cg, "bicgstab": device_bicgstab,
+                    "cr": device_cr,
+                    "minimal_residual": device_minimal_residual,
+                    "steepest_descent": device_steepest_descent}[accel]
+
             def run(h, b, x0, tol):
-                matvec, precond = mk_ops(h, h.dtype)
-                return device_cg(matvec, b, x0, tol=tol, maxiter=maxiter,
-                                 M=precond)
-        elif accel == "bicgstab":
+                matvec, _, precond = mk_ops(h, h.dtype)
+                return fn_k(matvec, b, x0, tol=tol, maxiter=maxiter,
+                            M=precond)
+        elif accel == "gmres":
+            # LEFT-preconditioned restarted GMRES — host gmres_mgs
+            # semantics (preconditioned-residual history); the flexible
+            # right-preconditioned form stays under accel='fgmres'
             def run(h, b, x0, tol):
-                matvec, precond = mk_ops(h, h.dtype)
-                return device_bicgstab(matvec, b, x0, tol=tol,
-                                       maxiter=maxiter, M=precond)
-        elif accel in ("gmres", "fgmres"):
+                matvec, _, precond = mk_ops(h, h.dtype)
+                return device_gmres(matvec, b, x0, tol=tol,
+                                    maxiter=maxiter, M=precond,
+                                    restart=restart)
+        elif accel == "fgmres":
             def run(h, b, x0, tol):
-                matvec, precond = mk_ops(h, h.dtype)
+                matvec, _, precond = mk_ops(h, h.dtype)
                 return device_fgmres(matvec, b, x0, tol=tol, maxiter=maxiter,
                                      M=precond, restart=restart)
+        elif accel in ("cgnr", "cgne"):
+            fn_k = device_cgnr if accel == "cgnr" else device_cgne
+
+            def run(h, b, x0, tol):
+                matvec, rmatvec, precond = mk_ops(h, h.dtype)
+                return fn_k(matvec, rmatvec, b, x0, tol=tol,
+                            maxiter=maxiter, M=precond)
         else:
             raise ValueError(f"unsupported device accelerator '{accel}'")
 
