@@ -16,6 +16,7 @@ from .krylov import (device_bicgstab, device_cg, device_cgne,
                      device_cgnr, device_cr, device_fgmres, device_gmres,
                      device_minimal_residual, device_steepest_descent)
 from .solver import DeviceMultilevelSolver, as_device_solver
+from .unstructured_setup import device_unstructured_sa_setup
 
 __all__ = [
     "DeviceHierarchy",
@@ -36,6 +37,7 @@ __all__ = [
     "device_adaptive_sa_setup",
     "device_sa_setup",
     "device_sa_setup_block",
+    "device_unstructured_sa_setup",
     "EmbeddedProlongator",
     "EmbeddedRestrictor",
     "BlockStructuredProlongator",

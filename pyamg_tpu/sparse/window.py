@@ -331,6 +331,72 @@ class WindowedELL:
         y = jnp.zeros(self.m_chunks * self.w2, dtype=self.dtype)
         return y.at[gidx].add(self.data * xb)
 
+    def select(self, x):
+        """Per-slot window selection: out[b, s, r] = x[starts[b]*w2
+        + idx[b, s, r]] — the gather-free "read x at my column" primitive
+        that powers the UNSTRUCTURED device setup (engine/
+        unstructured_setup.py): strength measures, Luby MIS neighbor
+        reductions, aggregate-root lookups and tentative-operator
+        construction are all elementwise functions of selected vectors.
+        Pallas one-hot kernel on TPU (Precision.HIGHEST — selections of
+        f32-encoded integer payloads must be exact), take() elsewhere.
+        Setup-phase only; the solve path never calls this."""
+        if (jax.default_backend() == "tpu" and pltpu is not None
+                and self.block % 128 == 0 and self.w2 % 1024 == 0
+                and jnp.dtype(x.dtype) in (jnp.dtype(jnp.float32),
+                                           jnp.dtype(jnp.float64))):
+            return self._select_pallas(x)
+        return self._select_reference(x)
+
+    def _select_reference(self, x):
+        x = self._x_padded(x)
+        gidx = (self.starts[:, None, None] * self.w2 + self.idx)
+        return jnp.take(x, gidx, axis=0)
+
+    def _select_pallas(self, x, interpret=False):
+        """The _matvec_pallas geometry with per-slot outputs instead of
+        the data-weighted accumulation."""
+        x = self._x_padded(x)
+        n_blocks, k, BLOCK = self.data.shape
+        H2 = self.w2 // _LANES
+        H = 2 * H2
+        x2 = x.reshape(self.m_chunks * H2, _LANES)
+        dtype = x.dtype
+
+        def kernel(starts_ref, idx_ref, xa_ref, xb_ref, y_ref):
+            xw = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=0)
+            lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
+            chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
+            for s in range(k):                      # static unroll
+                idx_s = idx_ref[0, s:s + 1, :]
+                hi_s = lax.shift_right_logical(idx_s, np.int32(7))
+                lo_s = jnp.bitwise_and(idx_s, np.int32(127))
+                OHl = (lane_iota == lo_s).astype(dtype)
+                C = jnp.dot(xw, OHl, preferred_element_type=dtype,
+                            precision=lax.Precision.HIGHEST)  # (H, BLOCK)
+                v = jnp.sum(jnp.where(chunk_iota == hi_s, C, 0), axis=0,
+                            keepdims=True)                    # (1, BLOCK)
+                y_ref[0, s] = v[0]
+
+        z = np.int32(0)
+        one = np.int32(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+                pl.BlockSpec((H2, _LANES), lambda b, s: (s[b], z)),
+                pl.BlockSpec((H2, _LANES), lambda b, s: (s[b] + one, z)),
+            ],
+            out_specs=pl.BlockSpec((1, k, BLOCK), lambda b, s: (b, z, z)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_blocks, k, BLOCK), dtype),
+            interpret=interpret,
+        )(self.starts, self.idx, x2, x2)
+
     def matmat(self, X):
         """Y = A @ X for a padded column stack X (m_pad, K).
 

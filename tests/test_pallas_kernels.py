@@ -273,3 +273,21 @@ def test_windowed_fused_rmatmat_interpret(K):
     want = P.T @ np.asarray(X)[: P.shape[0]]
     got = np.asarray(W._rmatmat_pallas(X, interpret=True))[: P.shape[1]]
     np.testing.assert_allclose(got, want, rtol=3e-6, atol=1e-6)
+
+
+def test_windowed_select_interpret():
+    """Per-slot window selection kernel (unstructured setup's graph-pass
+    primitive): out[b, s, r] == x[column(b, s, r)] exactly, including
+    f32-encoded integer payloads (coarse indices ride through it)."""
+    P = _random_rect(4096, 4096, per_row=5, spread=70, seed=21)
+    W = windowed_from_scipy(P, block=256)
+    assert W is not None
+    rng = np.random.default_rng(22)
+    # integer payloads < 2^24 must come back bit-exact
+    x = jnp.asarray(rng.integers(0, 2 ** 23, W.m_chunks * W.w2),
+                    dtype=jnp.float32)
+    got = np.asarray(W._select_pallas(x, interpret=True))
+    gidx = (np.asarray(W.starts)[:, None, None] * W.w2
+            + np.asarray(W.idx))
+    want = np.asarray(x)[gidx]
+    np.testing.assert_array_equal(got, want)
