@@ -219,21 +219,28 @@ def _jacobi_step_vmap(axis_size, in_batched, A, x, b, dinv, omega):
             "vmap over the operator/dinv/omega of a jacobi step is not "
             "supported; only x and b may be batched")
 
-    def cols(v, is_b):  # -> (n_pad, K) column stack
+    def lanes(v, is_b):  # -> K-MAJOR (K, n_pad) lane stack (no copies:
+        # the vmapped batch axis already leads)
         if is_b:
-            return jnp.moveaxis(v, 0, -1)
-        return jnp.broadcast_to(v[:, None], v.shape + (axis_size,))
+            return v
+        return jnp.broadcast_to(v[None, :], (axis_size,) + v.shape)
 
-    X = cols(x, x_b)
-    B = cols(b, b_b)
-    from ..sparse.dia import DIAMatrix, dia_pallas_jacobi_k
+    Xk = lanes(x, x_b)
+    Bk = lanes(b, b_b)
+    from ..sparse.dia import DIAMatrix, dia_pallas_jacobi_km
 
     if isinstance(A, DIAMatrix):
-        # one fused VMEM pass for all K lanes (sweep + residual folded)
-        Y = dia_pallas_jacobi_k(A, X, B, dinv, omega)
+        # one fused VMEM pass for all K lanes (sweep + residual folded),
+        # K-major throughout — no transposes (round-4 item 3)
+        Y = dia_pallas_jacobi_km(A, Xk, Bk, dinv, omega)
         if Y is not None:
-            return jnp.moveaxis(Y, -1, 0), True
-    Y = X + omega * (dinv[:, None] * (B - (A @ X)))
+            return Y, True
+        return Xk + omega * (dinv[None, :] * (Bk - A.matmat_k(Xk))), True
+    if hasattr(A, "matmat_k"):
+        return Xk + omega * (dinv[None, :] * (Bk - A.matmat_k(Xk))), True
+    Y = (jnp.moveaxis(Xk, 0, -1)
+         + omega * (dinv[:, None] * (jnp.moveaxis(Bk, 0, -1)
+                                     - (A @ jnp.moveaxis(Xk, 0, -1)))))
     return jnp.moveaxis(Y, -1, 0), True
 
 

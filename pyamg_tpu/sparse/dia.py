@@ -119,10 +119,39 @@ class DIAMatrix:
         if 2 <= K <= 16:
             B = _fused_block_k(self.data, self.offsets, X, K)
             if B is not None:
-                return _dia_pallas_matmat(self.data, self.offsets, X, B)
+                return _dia_pallas_matmat_k(
+                    self.data, self.offsets, X.T, B).T
         Y = self.data[0][:, None] * jnp.roll(X, -self.offsets[0], axis=0)
         for d in range(1, len(self.offsets)):
             Y = Y + self.data[d][:, None] * jnp.roll(X, -self.offsets[d], axis=0)
+        return Y
+
+    def matmat_k(self, Xk):
+        """Y = A @ X for K-MAJOR lane stacks Xk (K, n_pad) -> (K, n_pad).
+
+        The layout the batched (vmapped) solves already carry: the fused
+        kernel reads lane-major blocks natively, so this path has ZERO
+        transposes — the round-3 batched V-cycle lost its amortization
+        to a (K,n)->(n,K) relayout per apply plus the kernel's internal
+        transpose straight back (measured round 4: stage amort 0.87x)."""
+        K = Xk.shape[0]
+        if 2 <= K <= 16:
+            B = _fused_block_k(self.data, self.offsets, Xk.T, K)
+            if B is not None:
+                return _dia_pallas_matmat_k(self.data, self.offsets,
+                                            Xk, B)
+        Y = self.data[0][None, :] * jnp.roll(Xk, -self.offsets[0], axis=1)
+        for d in range(1, len(self.offsets)):
+            Y = Y + self.data[d][None, :] * jnp.roll(
+                Xk, -self.offsets[d], axis=1)
+        return Y
+
+    def rmatmat_k(self, Xk):
+        """A.T @ X for K-major lane stacks (K, n_pad) -> (K, n_pad)."""
+        Y = jnp.roll(self.data[0][None, :] * Xk, self.offsets[0], axis=1)
+        for d in range(1, len(self.offsets)):
+            Y = Y + jnp.roll(self.data[d][None, :] * Xk,
+                             self.offsets[d], axis=1)
         return Y
 
     def rmatvec(self, x):
@@ -189,7 +218,9 @@ def _dia_matvec_rule(axis_size, in_batched, A, x):
     A_b, x_b = in_batched
     _cv_unbatched_operator(A_b, "DIA")
     assert x_b, "rule invoked with no batched operand"
-    return jnp.moveaxis(A.matmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
+    # the batch axis leads (K, n_pad) — exactly the K-major kernel
+    # layout, so no moveaxis/transpose anywhere (round-4 item 3)
+    return A.matmat_k(x), True
 
 
 @jax.custom_batching.custom_vmap
@@ -203,7 +234,7 @@ def _dia_rmatvec_rule(axis_size, in_batched, A, x):
     A_b, x_b = in_batched
     _cv_unbatched_operator(A_b, "DIA")
     assert x_b, "rule invoked with no batched operand"
-    return jnp.moveaxis(A.rmatmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
+    return A.rmatmat_k(x), True
 
 
 # ---------------------------------------------------------------------------
@@ -314,18 +345,25 @@ def _dia_shifted_k(xcat, off, base, R, lane):
 
 
 def _dia_pallas_matmat(data, offsets, X, B, interpret=False):
+    """Column-stack (n_pad, K) wrapper over the K-major fused kernel."""
+    return _dia_pallas_matmat_k(data, offsets, X.T, B,
+                                interpret=interpret).T
+
+
+def _dia_pallas_matmat_k(data, offsets, Xk, B, interpret=False):
     """Fused multi-RHS DIA SpMV: the _dia_pallas_matvec geometry with K
     lane blocks resident per grid step; the diagonal data is read once
-    per block for ALL lanes."""
+    per block for ALL lanes.  K-MAJOR in and out ((K, n_pad) lanes —
+    the batched-solve layout; no transposes anywhere on this path)."""
     nd, n_pad = data.shape
-    K = X.shape[1]
+    K = Xk.shape[0]
     nb = n_pad // B
     R = B // 128
     C = _halo_chunks(offsets, R,
-                     16 if jnp.bfloat16 in (data.dtype, X.dtype) else 8)
+                     16 if jnp.bfloat16 in (data.dtype, Xk.dtype) else 8)
     Q = R // C
-    cdtype = jnp.promote_types(data.dtype, X.dtype)
-    x3 = X.T.reshape(K, -1, 128)    # NO pad: halos clamp (_halo_chunks)
+    cdtype = jnp.promote_types(data.dtype, Xk.dtype)
+    x3 = Xk.reshape(K, -1, 128)     # NO pad: halos clamp (_halo_chunks)
     data3 = data.reshape(nd, n_pad // 128, 128)
 
     def kernel(xlo_ref, xc_ref, xhi_ref, d_ref, y_ref):
@@ -359,7 +397,7 @@ def _dia_pallas_matmat(data, offsets, X, B, interpret=False):
         out_shape=jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype),
         interpret=interpret,
     )(x3, x3, x3, data3)
-    return y.reshape(K, -1).T
+    return y.reshape(K, -1)
 
 
 def _dia_pallas_matvec(data, offsets, x, B, interpret=False):
@@ -471,30 +509,40 @@ def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,
 
 def dia_pallas_jacobi_k(A, X, Bc, dinv, omega, interpret=False,
                         force_B=None):
-    """Fused K-lane weighted-Jacobi sweep X + omega*dinv*(Bc - A@X), or
-    None when the fused path doesn't apply.  The multi-RHS form of
-    :func:`dia_pallas_jacobi`: one VMEM pass over the diagonal data and
-    halo-extended x blocks for ALL K lanes (the batched smoother is
-    otherwise a matmat pass plus a separate elementwise pass)."""
+    """Column-stack (n_pad, K) wrapper over the K-major fused Jacobi."""
     if X.ndim != 2 or Bc.shape != X.shape:
         return None
-    K = X.shape[1]
+    y = dia_pallas_jacobi_km(A, X.T, Bc.T, dinv, omega,
+                             interpret=interpret, force_B=force_B)
+    return None if y is None else y.T
+
+
+def dia_pallas_jacobi_km(A, Xk, Bk, dinv, omega, interpret=False,
+                         force_B=None):
+    """Fused K-lane weighted-Jacobi sweep X + omega*dinv*(B - A@X), or
+    None when the fused path doesn't apply.  The multi-RHS form of
+    :func:`dia_pallas_jacobi`: one VMEM pass over the diagonal data and
+    halo-extended x blocks for ALL K lanes.  K-MAJOR (K, n_pad) in/out —
+    the batched-solve layout, zero transposes (round-4 item 3)."""
+    if Xk.ndim != 2 or Bk.shape != Xk.shape:
+        return None
+    K = Xk.shape[0]
     if not 2 <= K <= 16:
         return None
     Bsz = force_B if force_B is not None else _fused_block_k(
-        A.data, A.offsets, X, K)
-    if Bsz is None or dinv.shape != (X.shape[0],):
+        A.data, A.offsets, Xk.T, K)
+    if Bsz is None or dinv.shape != (Xk.shape[1],):
         return None
     data, offsets = A.data, A.offsets
     nd, n_pad = data.shape
     nb = n_pad // Bsz
     R = Bsz // 128
     C = _halo_chunks(offsets, R,
-                     16 if jnp.bfloat16 in (data.dtype, X.dtype) else 8)
+                     16 if jnp.bfloat16 in (data.dtype, Xk.dtype) else 8)
     Q = R // C
-    cdtype = jnp.promote_types(data.dtype, X.dtype)
-    x3 = X.T.reshape(K, -1, 128)    # NO pad: halos clamp (_halo_chunks)
-    b3 = Bc.T.reshape(K, -1, 128)
+    cdtype = jnp.promote_types(data.dtype, Xk.dtype)
+    x3 = Xk.reshape(K, -1, 128)     # NO pad: halos clamp (_halo_chunks)
+    b3 = Bk.reshape(K, -1, 128)
     data3 = data.reshape(nd, n_pad // 128, 128)
     di2 = dinv.reshape(-1, 128)
     om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
@@ -538,7 +586,7 @@ def dia_pallas_jacobi_k(A, X, Bc, dinv, omega, interpret=False,
         out_shape=jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype),
         interpret=interpret,
     )(om, x3, x3, x3, data3, b3, di2)
-    return y.reshape(K, -1).T
+    return y.reshape(K, -1)
 
 
 def dia_from_scipy(A, dtype=jnp.float32, row_pad=8, max_diags=None):

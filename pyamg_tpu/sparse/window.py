@@ -367,6 +367,7 @@ class WindowedELL:
             xw = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=0)
             lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
             chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
+            rows = []
             for s in range(k):                      # static unroll
                 idx_s = idx_ref[0, s:s + 1, :]
                 hi_s = lax.shift_right_logical(idx_s, np.int32(7))
@@ -374,9 +375,13 @@ class WindowedELL:
                 OHl = (lane_iota == lo_s).astype(dtype)
                 C = jnp.dot(xw, OHl, preferred_element_type=dtype,
                             precision=lax.Precision.HIGHEST)  # (H, BLOCK)
-                v = jnp.sum(jnp.where(chunk_iota == hi_s, C, 0), axis=0,
-                            keepdims=True)                    # (1, BLOCK)
-                y_ref[0, s] = v[0]
+                rows.append(jnp.sum(
+                    jnp.where(chunk_iota == hi_s, C, 0), axis=0,
+                    keepdims=True))                           # (1, BLOCK)
+            # one full-block 2-D store (per-row y_ref[0, s] stores are
+            # not reliably legalizable; a round-4 variant faulted the
+            # TPU worker)
+            y_ref[0] = jnp.concatenate(rows, axis=0)
 
         z = np.int32(0)
         one = np.int32(1)
@@ -427,23 +432,75 @@ class WindowedELL:
         cols = [self._matvec_impl(X[:, j]) for j in range(K)]
         return jnp.stack(cols, axis=1)
 
+    def matmat_k(self, Xk):
+        """Y = A @ X for K-MAJOR lane stacks (K, m_pad) -> (K, n_pad):
+        the batched-solve layout.  The fused kernel is internally
+        K-major, so this path skips both relayouts the column-stack API
+        pays (round-4 item 3)."""
+        K = Xk.shape[0]
+        need = self.m_chunks * self.w2
+        if Xk.shape[1] < need:
+            Xk = jnp.pad(Xk, ((0, 0), (0, need - Xk.shape[1])))
+        elif Xk.shape[1] > need:
+            Xk = Xk[:, :need]
+        H = 2 * self.w2 // _LANES
+        cap = int(2.5 * 2**20) // max(H * self.block * 4, 1)
+        cap = min(cap, 16, (4 * 2**20) // max(16 * self.w2, 1))
+        if (jax.default_backend() == "tpu" and pltpu is not None
+                and self.block % 128 == 0 and self.w2 % 1024 == 0
+                and jnp.dtype(self.dtype) in _PALLAS_DTYPES
+                and K >= 2 and cap >= 2):
+            outs = [self._matmat_pallas_k(Xk[j: j + cap])
+                    if min(cap, K - j) >= 2
+                    else self._matvec_impl(Xk[j])[None, :]
+                    for j in range(0, K, cap)]
+            return jnp.concatenate(outs, axis=0)
+        return jnp.stack([self._matvec_impl(Xk[j]) for j in range(K)],
+                         axis=0)
+
+    def rmatmat_k(self, Xk):
+        """A.T @ X for K-major lane stacks (K, n_pad) -> (K, m_pad) —
+        zero transposes (the transpose kernel's input and output blocks
+        are both lane-major)."""
+        K = Xk.shape[0]
+        H = 2 * self.w2 // _LANES
+        cap = int(2.5 * 2**20) // max(H * self.block * 4, 1)
+        cap = min(cap, 16,
+                  (6 * 2**20) // max(self.m_chunks * self.w2 * 4, 1))
+        if (jax.default_backend() == "tpu" and pltpu is not None
+                and K >= 2 and cap >= 2 and self.block % 128 == 0
+                and self.w2 % 1024 == 0
+                and jnp.dtype(self.dtype) in _PALLAS_DTYPES):
+            outs = [self._rmatmat_pallas_k(Xk[j: j + cap])
+                    if min(cap, K - j) >= 2
+                    else self._rmatvec_impl(Xk[j])[None, :]
+                    for j in range(0, K, cap)]
+            return jnp.concatenate(outs, axis=0)
+        return jnp.stack([self._rmatvec_impl(Xk[j]) for j in range(K)],
+                         axis=0)
+
     def _matmat_pallas(self, X, interpret=False):
-        """Fused multi-RHS forward kernel: the v2 matvec geometry with K
-        window stacks resident per grid step.  The lane one-hot is
-        SHARED across lanes — stage 1 becomes one (K·H, 128)×(128,
-        BLOCK) MXU contraction (larger and better-utilized than K
-        separate (H, 128) dots), and data/idx HBM traffic is paid once
-        per block instead of once per block per RHS."""
+        """Column-stack (m_pad, K) wrapper over the K-major kernel."""
         need = self.m_chunks * self.w2
         if X.shape[0] < need:
             X = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
         elif X.shape[0] > need:
             X = X[:need]
+        return self._matmat_pallas_k(X.T, interpret=interpret).T
+
+    def _matmat_pallas_k(self, Xk, interpret=False):
+        """Fused multi-RHS forward kernel: the v2 matvec geometry with K
+        window stacks resident per grid step.  The lane one-hot is
+        SHARED across lanes — stage 1 becomes one (K·H, 128)×(128,
+        BLOCK) MXU contraction (larger and better-utilized than K
+        separate (H, 128) dots), and data/idx HBM traffic is paid once
+        per block instead of once per block per RHS.  K-MAJOR
+        (K, m_pad) in, (K, n_pad) out — Xk must arrive padded."""
         n_blocks, k, BLOCK = self.data.shape
-        K = X.shape[1]
+        K = Xk.shape[0]
         H2 = self.w2 // _LANES
         H = 2 * H2
-        X3 = X.T.reshape(K, self.m_chunks * H2, _LANES)
+        X3 = Xk.reshape(K, self.m_chunks * H2, _LANES)
         dtype = self.data.dtype
         cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
@@ -494,7 +551,7 @@ class WindowedELL:
             out_shape=jax.ShapeDtypeStruct((n_blocks, K, BLOCK), dtype),
             interpret=interpret,
         )(self.starts, self.data, self.idx, X3, X3)
-        return jnp.moveaxis(y, 1, 2).reshape(-1, K)
+        return jnp.moveaxis(y, 0, 1).reshape(K, -1)
 
     def rmatmat(self, X):
         """A.T @ X: fused K-lane transpose kernel on TPU when the K
@@ -522,18 +579,24 @@ class WindowedELL:
         return jnp.stack(cols, axis=1)
 
     def _rmatmat_pallas(self, X, interpret=False):
+        """Column-stack (n_pad, K) wrapper over the K-major kernel."""
+        return self._rmatmat_pallas_k(X[: self.n_pad].T,
+                                      interpret=interpret).T
+
+    def _rmatmat_pallas_k(self, Xk, interpret=False):
         """Fused K-lane transpose apply: the _rmatvec_pallas geometry
         with all K transposed outputs resident in VMEM; data/idx read
         once per row block for every lane, and the stage-1 contraction
-        grows to (K·H, BLOCK)×(BLOCK, 128) on the MXU."""
+        grows to (K·H, BLOCK)×(BLOCK, 128) on the MXU.  K-MAJOR
+        (K, n_pad) in, (K, m_pad) out — both ends relayout-free."""
         n_blocks, k, BLOCK = self.data.shape
-        K = X.shape[1]
+        K = Xk.shape[0]
         H2 = self.w2 // _LANES
         H = 2 * H2
         out_chunks = self.m_chunks * H2
         dtype = self.data.dtype
         cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
-        r3 = X[: self.n_pad].T.reshape(K, n_blocks, 1, BLOCK)
+        r3 = Xk[:, : self.n_pad].reshape(K, n_blocks, 1, BLOCK)
 
         def kernel(starts_ref, data_ref, idx_ref, r_ref, y_ref):
             b = pl.program_id(0)
@@ -593,7 +656,7 @@ class WindowedELL:
             out_shape=jax.ShapeDtypeStruct((K, out_chunks, _LANES), dtype),
             interpret=interpret,
         )(self.starts, self.data, self.idx, r3)
-        return y.reshape(K, -1).T
+        return y.reshape(K, -1)
 
     def __matmul__(self, x):
         if x.ndim != 1:
@@ -660,8 +723,15 @@ class TransposedWindowed:
         return self.base.matvec(x)
 
     def matmat(self, X):
-        cols = [self.matvec(X[:, j]) for j in range(X.shape[1])]
-        return jnp.stack(cols, axis=1)
+        """R @ X routed through the fused K-lane transpose kernel (the
+        per-column unroll re-read the base operator once per lane —
+        round-4 item 3)."""
+        need = self.base.n_pad
+        if X.shape[0] < need:
+            X = jnp.pad(X, ((0, need - X.shape[0]), (0, 0)))
+        elif X.shape[0] > need:
+            X = X[:need]
+        return self.base.rmatmat(X)
 
     def __matmul__(self, x):
         if x.ndim != 1:
@@ -694,7 +764,9 @@ def _windowed_matvec_rule(axis_size, in_batched, A, x):
     A_b, x_b = in_batched
     _cv_unbatched_operator(A_b)
     assert x_b, "rule invoked with no batched operand"
-    return jnp.moveaxis(A.matmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
+    # batch axis leads (K, m_pad) — the kernels' native lane-major
+    # layout; no moveaxis/transpose (round-4 item 3)
+    return A.matmat_k(x), True
 
 
 @jax.custom_batching.custom_vmap
@@ -708,7 +780,7 @@ def _windowed_rmatvec_rule(axis_size, in_batched, A, x):
     A_b, x_b = in_batched
     _cv_unbatched_operator(A_b)
     assert x_b, "rule invoked with no batched operand"
-    return jnp.moveaxis(A.rmatmat(jnp.moveaxis(x, 0, -1)), -1, 0), True
+    return A.rmatmat_k(x), True
 
 
 # ---------------------------------------------------------------------------
