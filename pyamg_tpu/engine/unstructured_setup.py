@@ -240,6 +240,11 @@ def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
     mask, _, _ = _strength_mask(W, theta)
     w = _hash_weights(n_pad, seed)
 
+    # SELECT payload contract (sparse/window.py): FINITE f32 only —
+    # "absent" rides the sentinel -1.0 (all weights live in [0, 1), all
+    # indicator payloads in {0, 1}), never -inf (inf*0 = NaN through
+    # the one-hot MXU selection).  The masked slot reduction below may
+    # still use -inf: it is XLA elementwise, outside the kernel.
     def nbr_max(x):
         sel = _flat(W.select(x), n_pad)                  # (k, n)
         return jnp.max(jnp.where(mask, sel, -jnp.inf), axis=0)
@@ -251,16 +256,16 @@ def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
 
     def body(state):
         und = state == -1
-        wv = jnp.where(und, w, -jnp.inf)
+        wv = jnp.where(und, w, -1.0)
         # distance<=2 undecided max; the round trip through a neighbor
         # makes it self-inclusive, so winners compare with >= (hash
         # collisions at distance<=2 are vanishingly rare and only cost
         # two nearby roots, never correctness)
-        m2 = nbr_max(jnp.maximum(wv, nbr_max(wv)))
+        m2 = nbr_max(jnp.maximum(wv, jnp.maximum(nbr_max(wv), -1.0)))
         winners = und & (wv >= m2)
         state = jnp.where(winners, jnp.int8(1), state)
-        e1 = nbr_max(jnp.where(winners, 1.0, -jnp.inf)) > 0.5
-        e2 = nbr_max(jnp.where(e1, 1.0, -jnp.inf)) > 0.5
+        e1 = nbr_max(jnp.where(winners, 1.0, 0.0)) > 0.5
+        e2 = nbr_max(jnp.where(e1, 1.0, 0.0)) > 0.5
         return jnp.where((state == -1) & (e1 | e2), jnp.int8(0), state)
 
     state = lax.while_loop(cond, body, state0)
@@ -274,16 +279,16 @@ def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
     # of the uncovered shell S = {valid, non-root, no root neighbor} to
     # secondary roots — afterwards every node is within one strong hop
     # of a root, matching the reference's aggregate granularity.
-    adj_root = nbr_max(jnp.where(root, 1.0, -jnp.inf)) > 0.5
+    adj_root = nbr_max(jnp.where(root, 1.0, 0.0)) > 0.5
     shell = valid & ~root & ~adj_root
     state2_0 = jnp.where(shell, jnp.int8(-1), jnp.int8(0))
 
     def body2(s):
         und = s == -1
-        wv = jnp.where(und, w, -jnp.inf)
-        winners = und & (wv >= nbr_max(wv))
+        wv = jnp.where(und, w, -1.0)
+        winners = und & (wv >= jnp.maximum(nbr_max(wv), -1.0))
         s = jnp.where(winners, jnp.int8(1), s)
-        e1 = nbr_max(jnp.where(winners, 1.0, -jnp.inf)) > 0.5
+        e1 = nbr_max(jnp.where(winners, 1.0, 0.0)) > 0.5
         return jnp.where((s == -1) & e1, jnp.int8(0), s)
 
     state2 = lax.while_loop(cond, body2, state2_0)

@@ -338,13 +338,18 @@ class WindowedELL:
         unstructured_setup.py): strength measures, Luby MIS neighbor
         reductions, aggregate-root lookups and tentative-operator
         construction are all elementwise functions of selected vectors.
-        Pallas one-hot kernel on TPU (Precision.HIGHEST — selections of
-        f32-encoded integer payloads must be exact), take() elsewhere.
-        Setup-phase only; the solve path never calls this."""
+        Pallas one-hot kernel on TPU, take() elsewhere.
+
+        CONTRACT: payloads must be FINITE f32 (±inf/NaN poison the
+        one-hot MXU selection: inf*0 = NaN) — callers encode "absent"
+        as finite sentinels.  Selection is EXACT for f32-encoded
+        integers < 2^24 and <= 2^-26-relative for arbitrary f32 (the
+        Dekker 3-way bf16 split; the one-hot factor is exactly 1.0, so
+        each piece is selected exactly).  Setup-phase only; the solve
+        path never calls this."""
         if (jax.default_backend() == "tpu" and pltpu is not None
                 and self.block % 128 == 0 and self.w2 % 1024 == 0
-                and jnp.dtype(x.dtype) in (jnp.dtype(jnp.float32),
-                                           jnp.dtype(jnp.float64))):
+                and jnp.dtype(x.dtype) == jnp.dtype(jnp.float32)):
             return self._select_pallas(x)
         return self._select_reference(x)
 
@@ -367,21 +372,30 @@ class WindowedELL:
             xw = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=0)
             lane_iota = lax.broadcasted_iota(jnp.int32, (_LANES, BLOCK), 0)
             chunk_iota = lax.broadcasted_iota(jnp.int32, (H, BLOCK), 0)
+            # Dekker 3-way bf16 split of the payload — three default
+            # bf16 MXU passes (the matvec kernel's stage-1 recipe;
+            # Precision.HIGHEST here compiled ~700 s/kernel through the
+            # relay Mosaic pipeline, measured round 4).  Selection of
+            # each piece is exact (one-hot factor = 1.0), so the
+            # recomposed value carries only the split's <= 2^-26 tail —
+            # zero for integer payloads < 2^24.
+            xws = _split3_bf16(xw)
             rows = []
             for s in range(k):                      # static unroll
                 idx_s = idx_ref[0, s:s + 1, :]
                 hi_s = lax.shift_right_logical(idx_s, np.int32(7))
                 lo_s = jnp.bitwise_and(idx_s, np.int32(127))
-                OHl = (lane_iota == lo_s).astype(dtype)
-                C = jnp.dot(xw, OHl, preferred_element_type=dtype,
-                            precision=lax.Precision.HIGHEST)  # (H, BLOCK)
+                OHl = (lane_iota == lo_s).astype(jnp.bfloat16)
+                C = sum(jnp.dot(p, OHl,
+                                preferred_element_type=jnp.float32)
+                        for p in xws)                         # (H, BLOCK)
                 rows.append(jnp.sum(
                     jnp.where(chunk_iota == hi_s, C, 0), axis=0,
                     keepdims=True))                           # (1, BLOCK)
             # one full-block 2-D store (per-row y_ref[0, s] stores are
             # not reliably legalizable; a round-4 variant faulted the
             # TPU worker)
-            y_ref[0] = jnp.concatenate(rows, axis=0)
+            y_ref[0] = jnp.concatenate(rows, axis=0).astype(dtype)
 
         z = np.int32(0)
         one = np.int32(1)

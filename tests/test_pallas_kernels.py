@@ -291,3 +291,20 @@ def test_windowed_select_interpret():
             + np.asarray(W.idx))
     want = np.asarray(x)[gidx]
     np.testing.assert_array_equal(got, want)
+
+
+def test_windowed_select_interpret_f32_payloads():
+    """Arbitrary FINITE f32 payloads come back within the Dekker split's
+    2^-26 relative tail (exact for the integer payloads above).  The
+    kernel contract excludes non-finite payloads — callers use finite
+    sentinels (engine/unstructured_setup._stage_roots)."""
+    P = _random_rect(4096, 4096, per_row=5, spread=70, seed=23)
+    W = windowed_from_scipy(P, block=256)
+    rng = np.random.default_rng(24)
+    x = jnp.asarray(rng.standard_normal(W.m_chunks * W.w2) * 1e3,
+                    dtype=jnp.float32)
+    got = np.asarray(W._select_pallas(x, interpret=True))
+    gidx = (np.asarray(W.starts)[:, None, None] * W.w2
+            + np.asarray(W.idx))
+    want = np.asarray(x)[gidx]
+    np.testing.assert_allclose(got, want, rtol=2e-7, atol=0)
