@@ -251,10 +251,20 @@ def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
 
     state0 = jnp.where(valid, jnp.int8(-1), jnp.int8(0))
 
-    def cond(state):
-        return jnp.any(state == -1)
+    # Luby terminates in O(log n) rounds w.h.p.; the cap turns any
+    # payload bug (e.g. NaN weights — comparisons all-false, no
+    # winners, no progress) into a degraded aggregation instead of an
+    # unkillable on-device infinite loop (a round-4 prototype hung the
+    # chip exactly this way).  Capped leftovers stay non-root and relax
+    # through smoothing.
+    _MAX_ROUNDS = 64
 
-    def body(state):
+    def cond(carry):
+        it, state = carry
+        return (it < _MAX_ROUNDS) & jnp.any(state == -1)
+
+    def body(carry):
+        it, state = carry
         und = state == -1
         wv = jnp.where(und, w, -1.0)
         # distance<=2 undecided max; the round trip through a neighbor
@@ -266,9 +276,10 @@ def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
         state = jnp.where(winners, jnp.int8(1), state)
         e1 = nbr_max(jnp.where(winners, 1.0, 0.0)) > 0.5
         e2 = nbr_max(jnp.where(e1, 1.0, 0.0)) > 0.5
-        return jnp.where((state == -1) & (e1 | e2), jnp.int8(0), state)
+        return it + 1, jnp.where((state == -1) & (e1 | e2), jnp.int8(0),
+                                 state)
 
-    state = lax.while_loop(cond, body, state0)
+    _, state = lax.while_loop(cond, body, (0, state0))
     root = state == 1
 
     # DENSIFY (convergence parity with the reference's greedy pass,
@@ -283,15 +294,16 @@ def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
     shell = valid & ~root & ~adj_root
     state2_0 = jnp.where(shell, jnp.int8(-1), jnp.int8(0))
 
-    def body2(s):
+    def body2(carry):
+        it, s = carry
         und = s == -1
         wv = jnp.where(und, w, -1.0)
         winners = und & (wv >= jnp.maximum(nbr_max(wv), -1.0))
         s = jnp.where(winners, jnp.int8(1), s)
         e1 = nbr_max(jnp.where(winners, 1.0, 0.0)) > 0.5
-        return jnp.where((s == -1) & e1, jnp.int8(0), s)
+        return it + 1, jnp.where((s == -1) & e1, jnp.int8(0), s)
 
-    state2 = lax.while_loop(cond, body2, state2_0)
+    _, state2 = lax.while_loop(cond, body2, (0, state2_0))
     return (root | (state2 == 1)).astype(jnp.float32)
 
 
