@@ -162,3 +162,48 @@ def test_batched_gmres_multi_restart(poisson_dml):
         assert abs(len(res_b[j]) - len(res1)) <= 1
         dx = np.max(np.abs(Xb[:, j] - x1)) / np.max(np.abs(x1))
         assert dx < 3e-5, (j, dx)
+
+
+def test_kmajor_matches_column_stack_dia():
+    """matmat_k/rmatmat_k (K-major, the zero-transpose vmap layout) ==
+    matmat/rmatmat on the transposed stack, and == scipy."""
+    import scipy.sparse as sp
+    from pyamg_tpu.sparse import dia_from_scipy
+    from pyamg_tpu.gallery import poisson
+    A = poisson((48, 48), format="csr")
+    D = dia_from_scipy(A, row_pad=128)
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.standard_normal((D.n_pad, 6)), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(D.matmat_k(X.T)),
+                               np.asarray(D.matmat(X)).T, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(D.rmatmat_k(X.T)),
+                               np.asarray(D.rmatmat(X)).T, rtol=1e-6)
+    want = (A @ np.asarray(X, dtype=np.float64)[: A.shape[0]])
+    got = np.asarray(D.matmat_k(X.T)).T[: A.shape[0]]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_kmajor_matches_column_stack_windowed():
+    import scipy.sparse as sp
+    from pyamg_tpu.sparse import windowed_from_scipy
+    rng = np.random.default_rng(7)
+    n, m = 2048, 700
+    rows = np.repeat(np.arange(n), 3)
+    cols = np.clip(rows // 3 + rng.integers(-20, 21, rows.shape), 0, m - 1)
+    P = sp.csr_matrix((rng.standard_normal(rows.shape), (rows, cols)),
+                      shape=(n, m))
+    W = windowed_from_scipy(P, block=256)
+    assert W is not None
+    Xc = jnp.asarray(rng.standard_normal((W.m_chunks * W.w2, 5)),
+                     dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(W.matmat_k(Xc.T)),
+                               np.asarray(W.matmat(Xc)).T, rtol=1e-6)
+    Xr = jnp.asarray(rng.standard_normal((W.n_pad, 5)), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(W.rmatmat_k(Xr.T)),
+                               np.asarray(W.rmatmat(Xr)).T, rtol=1e-6)
+    # scipy golden through the transposed-windowed matmat (fused path)
+    from pyamg_tpu.sparse import TransposedWindowed
+    R = TransposedWindowed(W)
+    got = np.asarray(R.matmat(Xr))[: P.shape[1]]
+    want = P.T @ np.asarray(Xr, dtype=np.float64)[: P.shape[0]]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
