@@ -59,6 +59,7 @@ from jax import lax
 
 from ..sparse import TransposedWindowed, WindowedELL, pad_to, \
     windowed_from_scipy
+from ..sparse.window import _split3_bf16
 from ..sparse.dia import DenseOperator
 from . import relaxation as device_relaxation
 from .device_setup import (_ns_pinv, _power_rho, _smoother_device_arrays,
@@ -452,11 +453,20 @@ def _stage_build_p(W, root_f, B_in, *, theta, omega, dtype, t_geom,
 def _probe_rap(A_w, P, cstarts, *, period, K, nc_pad, bc, dtype):
     """A_c = P^T A P recovered exactly by banded probing (module
     docstring).  ``cstarts`` (nb_c,) int32 = per-coarse-block window
-    starts; returns banded A_band (nb_c, bc, period)."""
+    starts; returns banded A_band (nb_c, bc, period).
+
+    Memory shape (round 4, fixed after a 640k-dof HBM OOM): the probe
+    results are PLACED into the band as they stream — each K-probe
+    chunk lands via an exact one-hot product (Dekker-split bf16 MXU
+    passes; the one-hot factor is 1.0 so selection is exact) — so only
+    A_band (nc_pad x period) is ever resident, never a second
+    (nc_pad x period) residue matrix plus its doubled copy."""
     n_pad = A_w.n_pad
     ncol = P.m_chunks * P.w2
     nchunks = -(-period // K)
+    nb_c = nc_pad // bc
     iota_c = jnp.arange(ncol)
+    w_iota = jnp.arange(period)
 
     def chain(d0):
         lane = jnp.arange(K)
@@ -469,33 +479,26 @@ def _probe_rap(A_w, P, cstarts, *, period, K, nc_pad, bc, dtype):
                        else jnp.pad(Y2, ((0, P.n_pad - n_pad), (0, 0))))
         return Y3[:nc_pad]                               # (nc_pad, K)
 
-    def body(c, Yall):
-        Yc = chain(c * K)
-        return lax.dynamic_update_slice(Yall, Yc.astype(dtype),
-                                        (0, c * K))
+    def body(c, A_band):
+        Yc = chain(c * K).astype(jnp.float32)            # (nc_pad, K)
+        Y3 = Yc.reshape(nb_c, bc, K)
+        # placement one-hot: residue d = c*K + j lands at band position
+        # w = (d - cstart_b) mod period for coarse block b; probe
+        # columns beyond `period` (K-padding) place nowhere
+        d = c * K + jnp.arange(K)
+        oh = ((jnp.remainder(d[None, :, None] - cstarts[:, None, None],
+                             np.int32(period)) == w_iota[None, None, :])
+              & (d[None, :, None] < period))             # (nb_c, K, Pw)
+        ohb = oh.astype(jnp.bfloat16)
+        acc = None
+        for p in _split3_bf16(Y3):
+            term = jnp.einsum("brj,bjw->brw", p, ohb,
+                              preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        return A_band + acc.astype(dtype)
 
-    # period padded to a K multiple so the scan body is shape-uniform;
-    # extra probe columns land beyond `period` and are sliced off
-    Yall = jnp.zeros((nc_pad, nchunks * K), dtype=dtype)
-    Yall = lax.fori_loop(0, nchunks, body, Yall)[:, :period]
-
-    nb_c = nc_pad // bc
-    # per-block placement: A_band[b, r, w] = Yall[b*bc + r,
-    # (cstart_b + w) % period] — a per-block CIRCULAR SHIFT of the
-    # residue axis.  Realized as dynamic_slice into a doubled copy
-    # (never a one-hot einsum: (nb_c, period, period) selectors are
-    # GBs at level 0, and never a gather).
-    Y2 = jnp.concatenate([Yall, Yall], axis=1).reshape(
-        nb_c, bc, 2 * period)
-
-    def place(_, inp):
-        Yb, cs = inp
-        off = jnp.remainder(cs, np.int32(period))
-        return None, lax.dynamic_slice(Yb, (jnp.int32(0), off),
-                                       (bc, period))
-
-    _, A_band = lax.scan(place, None, (Y2, cstarts))
-    return A_band
+    A_band = jnp.zeros((nb_c, bc, period), dtype=dtype)
+    return lax.fori_loop(0, nchunks, body, A_band)
 
 
 @partial(jax.jit, static_argnames=("kc",))
