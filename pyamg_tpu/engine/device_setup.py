@@ -1018,7 +1018,20 @@ def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
     if grid is None:
         if not (sp.issparse(A) or isinstance(A, np.ndarray)):
             raise ValueError("grid= is required for DIAMatrix inputs")
-        grid = detect_grid(A)
+        try:
+            grid = detect_grid(A)
+        except ValueError:
+            # not a grid stencil: route to the UNSTRUCTURED device
+            # pipeline (round 4 — windowed operators, MIS-2 aggregation,
+            # chain-probed RAP; engine/unstructured_setup.py).  Raises
+            # ValueError itself when the operator is not windowable
+            # either (caller falls back to host setup).
+            from .unstructured_setup import device_unstructured_sa_setup
+            return device_unstructured_sa_setup(
+                A, B=B, dtype=dtype, omega=omega, max_coarse=max_coarse,
+                max_levels=max_levels, presmoother=presmoother,
+                postsmoother=postsmoother,
+                improve_candidates_iters=improve_candidates_iters)
     grid = tuple(int(g) for g in grid)
     dim = len(grid)
     n = int(np.prod(grid))

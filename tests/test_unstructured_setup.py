@@ -176,3 +176,33 @@ class TestUnstructuredSetup:
         # the histories only differ by f32 rounding near the floor
         assert abs(len(r1) - len(r2)) <= 1
         assert r2[-1] / r2[0] < 1e-5
+
+
+def test_auto_route_from_device_sa_setup():
+    """device_sa_setup(A) with no grid on a genuinely NON-GRID operator
+    (the airfoil mesh Laplacian — detect_grid rejects it) auto-routes to
+    the unstructured pipeline and solves.  SURVEY.md §7 step 5: the
+    reference's setup accepts arbitrary CSR; so does the device path
+    now."""
+    import pytest
+    from pyamg_tpu.engine import device_sa_setup
+    from pyamg_tpu.engine.device_setup import detect_grid
+    from pyamg_tpu.gallery import load_example
+
+    A = sp.csr_matrix(load_example("airfoil")["A"]).astype(np.float64)
+    n = A.shape[0]
+    A = (A + 1e-2 * sp.eye(n, format="csr")).tocsr()
+    with pytest.raises(ValueError):
+        detect_grid(A)
+
+    ds = device_sa_setup(A, max_coarse=100)
+    from pyamg_tpu.engine.unstructured_setup import \
+        device_unstructured_sa_setup  # noqa: F401 (routing target)
+    b = np.random.default_rng(3).standard_normal(n)
+    res = []
+    x = ds.solve(jnp.asarray(b, dtype=jnp.float32), tol=1e-6,
+                 maxiter=60, accel="cg", residuals=res)
+    res = [r for r in np.asarray(res) if not np.isnan(r)]
+    assert res[-1] / res[0] < 1e-5
+    r = np.linalg.norm(b - A @ np.asarray(x[:n], dtype=np.float64))
+    assert r / np.linalg.norm(b) < 1e-3
