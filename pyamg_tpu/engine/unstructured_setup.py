@@ -530,6 +530,30 @@ def _band_nnz_max(A_band):
     return jnp.max(jnp.sum((A_band != 0).astype(jnp.int32), axis=-1))
 
 
+@partial(jax.jit, static_argnames=("gr",))
+def _col_bounds(vals, cols, *, gr):
+    """Per-``gr``-row-group [min, max] column of the extracted coarse
+    operator (device; two tiny vectors for the host pull).  Empty
+    groups return (+inf, -inf) — the host clamps them.
+
+    Round 4: the hull-planned coarse windows overestimated the true
+    A_c support ~4x (640k FEM: level-1 w2 4096 / H 64 where the
+    measured band fits in w2 1024 — and window width multiplies the
+    cost of EVERY one-hot apply).  Measuring the support costs one
+    ~nb-element D2H pull per level and shrinks both the next level's
+    apply cost and its probe period."""
+    kc, n = vals.shape
+    ng = -(-n // gr)
+    pad = ng * gr - n
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        cols = jnp.pad(cols, ((0, 0), (0, pad)))
+    live = vals != 0
+    cm = jnp.where(live, cols, jnp.inf).reshape(kc, ng, gr)
+    cM = jnp.where(live, cols, -jnp.inf).reshape(kc, ng, gr)
+    return jnp.min(cm, axis=(0, 2)), jnp.max(cM, axis=(0, 2))
+
+
 @partial(jax.jit, static_argnames=("nc", "nc_pad"))
 def _band_to_dense(A_band, cstarts, *, nc, nc_pad):
     """Materialize the (small) coarsest banded operator densely:
@@ -564,6 +588,13 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
     sees one root-mask pull + one scalar per level for static window
     planning.  Returns a DeviceMultilevelSolver.
     """
+    if mixed_precision:
+        raise NotImplementedError(
+            "mixed-precision (f64 outer Krylov) needs an f64 finest "
+            "operator apply; the windowed Pallas kernels are f32/bf16 "
+            "and the f64 fallback would gather on TPU.  Use the f32 "
+            "device solve (true-residual floor ~1e-6 relative) or "
+            "host-side iterative refinement around aspreconditioner().")
     A = sp.csr_matrix(A)
     A.sort_indices()
     n = A.shape[0]
@@ -656,7 +687,8 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
             post=_smoother_wrap(post_key, post_arr),
             n=cur_n, n_pad=cur.n_pad))
         infos.append({"level": lev, "n": cur_n, "nc": nc,
-                      "period": period, "k": cur.k})
+                      "period": period, "k": cur.k,
+                      "A_w2": cur.w2, "P_w2": p_w2, "T_w2": t_w2})
 
         # ---- next-level operator ---------------------------------------
         if nc <= max_coarse:
@@ -681,31 +713,31 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
         # columns = cstart(block) + w
         cs_rows = jnp.repeat(cstarts.astype(jnp.float32), bc)[:nc_pad]
         cols = ws + cs_rows[None, :]
-        # next-level windowed geometry from the A_c plan
+        # next-level windowed geometry from the MEASURED support (two
+        # tiny D2H pulls) — the hull plan overestimates ~4x and window
+        # width multiplies every apply's one-hot cost (round 4)
         c_block = 1024 if nc >= 4096 else 256
         nb2 = pad_to(nc, c_block) // c_block
-        # per-next-block column window = union of the bc-block plans
-        scale = c_block // bc if c_block >= bc else 1
-        if c_block >= bc:
-            g_lo = ac_lo.reshape(-1)
-            g_lo = np.minimum.reduceat(
-                np.pad(g_lo, (0, nb2 * scale - len(g_lo)),
-                       constant_values=g_lo[-1]),
-                np.arange(0, nb2 * scale, scale))
-            g_hi = np.pad(ac_hi, (0, nb2 * scale - len(ac_hi)),
-                          constant_values=ac_hi[-1])
-            g_hi = np.maximum.reduceat(g_hi,
-                                       np.arange(0, nb2 * scale, scale))
-        else:
-            reps = bc // c_block
-            g_lo = np.repeat(ac_lo, reps)[:nb2]
-            g_hi = np.repeat(ac_hi, reps)[:nb2]
+        blo_d, bhi_d = _col_bounds(vals, cols, gr=c_block)
+        slo_d, shi_d = _col_bounds(vals, cols, gr=bc)
+        blo_h = np.asarray(blo_d)[:nb2]
+        bhi_h = np.asarray(bhi_d)[:nb2]
+        ok_b = np.isfinite(blo_h)
+        g_lo = np.where(ok_b, blo_h, 0).astype(np.int64)
+        g_hi = np.maximum(np.where(ok_b, bhi_h, 0).astype(np.int64) + 1,
+                          g_lo + 1)
         c_w2, c_starts, c_mch = _pick_geometry(g_lo, g_hi, c_block, nc)
         c_geom = (c_block, c_w2, tuple(c_starts.tolist()), c_mch)
         cur = _make_windowed(vals[:, :nc], cols[:, :nc], nc, c_geom,
                              dtype, nnz=int(kc * nc))
         cur_n = nc
-        spans = _SpanPlan.from_band(nc, bc, ac_lo, ac_hi)
+        slo_h = np.asarray(slo_d)
+        shi_h = np.asarray(shi_d)
+        ok_s = np.isfinite(slo_h)
+        spans = _SpanPlan(
+            nc, bc,
+            np.where(ok_s, slo_h, nc).astype(np.int64),
+            np.where(ok_s, shi_h + 1, 0).astype(np.int64))
         # coarse candidate = per-aggregate norms (fit_candidates)
         Bv = norms[:nc].astype(jnp.float32)
 
