@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DeviceSmoother", "apply_smoother"]
+__all__ = ["DeviceSmoother", "apply_smoother", "apply_smoother_zero"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -52,6 +52,17 @@ class DeviceSmoother:
 
     def __call__(self, A, x, b):
         return apply_smoother(self.config, self.arrays, A, x, b)
+
+    def zero_call(self, A, b):
+        """Apply with a KNOWN-zero initial guess.
+
+        Round 4 (VERDICT item 4): every coarse-level entry smoother —
+        and the finest one under preconditioner use — starts from
+        x = 0, but Pallas kernels are opaque custom calls so XLA cannot
+        fold A@0 away; the specialized first sweep replaces a full
+        fused-kernel pass with one elementwise op (jacobi: x1 = w D^-1
+        b) or skips the first residual SpMV (polynomial: r0 = b)."""
+        return apply_smoother_zero(self.config, self.arrays, A, b)
 
 
 def identity():
@@ -242,6 +253,74 @@ def _jacobi_step_vmap(axis_size, in_batched, A, x, b, dinv, omega):
          + omega * (dinv[:, None] * (jnp.moveaxis(Bk, 0, -1)
                                      - (A @ jnp.moveaxis(Xk, 0, -1)))))
     return jnp.moveaxis(Y, -1, 0), True
+
+
+def apply_smoother_zero(config, arrays, A, b):
+    """apply_smoother with x = 0: the first sweep collapses (see
+    DeviceSmoother.zero_call); remaining sweeps run the generic path."""
+    kind = config[0]
+
+    if kind == "identity":
+        return jnp.zeros_like(b)
+
+    if kind in ("jacobi", "jacobi_dyn"):
+        if kind == "jacobi":
+            _, omega, iterations = config
+            (dinv,) = arrays
+        else:
+            _, iterations = config
+            dinv, omega = arrays
+        x = omega * (dinv * b)
+        for _ in range(iterations - 1):
+            x = _jacobi_step(A, x, b, dinv, omega)
+        return x
+
+    if kind in ("richardson", "richardson_dyn"):
+        if kind == "richardson":
+            _, omega, iterations = config
+        else:
+            _, iterations = config
+            (omega,) = arrays
+        x = omega * b
+        for _ in range(iterations - 1):
+            x = x + omega * (b - (A @ x))
+        return x
+
+    if kind in ("block_jacobi", "block_jacobi_dyn"):
+        if kind == "block_jacobi":
+            _, omega, iterations = config
+            (Dinv,) = arrays
+        else:
+            _, iterations = config
+            Dinv, omega = arrays
+        bs = Dinv.shape[1]
+        x = omega * _block_apply(Dinv, b.reshape(-1, bs)).reshape(-1)
+        for _ in range(iterations - 1):
+            r = (b - (A @ x)).reshape(-1, bs)
+            x = x + omega * _block_apply(Dinv, r).reshape(-1)
+        return x
+
+    if kind in ("poly", "poly_dyn"):
+        # first iteration: r = b - A@0 = b (one SpMV saved)
+        if kind == "poly":
+            _, coefficients, iterations = config
+            h = coefficients[0] * b
+            for c in coefficients[1:]:
+                h = c * b + (A @ h)
+        else:
+            _, iterations = config
+            (coefficients,) = arrays
+            h = coefficients[0] * b
+            for c in range(1, coefficients.shape[0]):
+                h = coefficients[c] * b + (A @ h)
+        x = h
+        rest = ((config[0], config[1], iterations - 1)
+                if kind == "poly" else ("poly_dyn", iterations - 1))
+        if iterations > 1:
+            x = apply_smoother(rest, arrays, A, x, b)
+        return x
+
+    return apply_smoother(config, arrays, A, jnp.zeros_like(b), b)
 
 
 def apply_smoother(config, arrays, A, x, b):

@@ -56,11 +56,17 @@ def _make_cycle(nlev, cycle, amli_depth=2):
         def direct(h, x, b):
             return _fitv(h.coarse_solve(_fitv(b, h.nc_pad)), b.shape[0])
 
+        direct.zero = lambda h, b: direct(h, None, b)
         return direct
 
-    def visit(h, i, x, b, kind):
+    def visit(h, i, x, b, kind, xz=False):
+        """``xz`` (static): x is KNOWN zero — the entry smoother takes
+        its specialized zero_call (one elementwise op instead of a full
+        fused sweep; Pallas calls are opaque so XLA cannot fold A@0
+        itself).  True for every coarse-level entry and for the finest
+        level under preconditioner use (round 4, VERDICT item 4)."""
         lvl = h.levels[i]
-        x = lvl.pre(lvl.A, x, b)
+        x = lvl.pre.zero_call(lvl.A, b) if xz else lvl.pre(lvl.A, x, b)
         r = b - (lvl.A @ x)
         rc = _fitv(lvl.R @ r, h.levels[i + 1].n_pad)
         if i == nlev - 2:
@@ -68,12 +74,12 @@ def _make_cycle(nlev, cycle, amli_depth=2):
         else:
             xc = jnp.zeros(h.levels[i + 1].n_pad, dtype=b.dtype)
             if kind == "V":
-                xc = visit(h, i + 1, xc, rc, "V")
+                xc = visit(h, i + 1, xc, rc, "V", xz=True)
             elif kind == "W":
-                xc = visit(h, i + 1, xc, rc, "W")
+                xc = visit(h, i + 1, xc, rc, "W", xz=True)
                 xc = visit(h, i + 1, xc, rc, "W")
             elif kind == "F":
-                xc = visit(h, i + 1, xc, rc, "F")
+                xc = visit(h, i + 1, xc, rc, "F", xz=True)
                 xc = visit(h, i + 1, xc, rc, "V")
             elif kind == "AMLI":
                 # two A_c-orthogonalized coarse corrections (static
@@ -86,7 +92,7 @@ def _make_cycle(nlev, cycle, amli_depth=2):
                     p = visit(h, i + 1,
                               jnp.zeros(h.levels[i + 1].n_pad,
                                         dtype=b.dtype),
-                              rc_cur, "AMLI")
+                              rc_cur, "AMLI", xz=True)
                     if p_prev is not None:
                         denom = _vdot(p_prev, Ap_prev)
                         beta = _vdot(p_prev, Ac @ p) / jnp.where(
@@ -110,6 +116,12 @@ def _make_cycle(nlev, cycle, amli_depth=2):
     def one_cycle(h, x, b):
         return visit(h, 0, x, b, cycle)
 
+    def one_cycle_zero(h, b):
+        """The cycle from x = 0 (preconditioner application) — lets the
+        finest entry smoother take its zero_call too."""
+        return visit(h, 0, None, b, cycle, xz=True)
+
+    one_cycle.zero = one_cycle_zero
     return one_cycle
 
 
@@ -143,14 +155,13 @@ class DeviceMultilevelSolver:
                 matvec = lambda v: _fitv(h.A64 @ _fitv(v, a64_pad), n_pad)
                 rmatvec = lambda v: _fitv(
                     h.A64.rmatvec(_fitv(v, a64_pad)), n_pad)
-                precond = lambda r: one_cycle(
-                    h, jnp.zeros(r.shape, dtype=cycle_dtype),
-                    r.astype(cycle_dtype)).astype(r.dtype)
+                precond = lambda r: one_cycle.zero(
+                    h, r.astype(cycle_dtype)).astype(r.dtype)
             else:
                 matvec = lambda v: h.levels[0].A @ v
                 rmatvec = lambda v: _fitv(h.levels[0].A.rmatvec(v),
                                           v.shape[0])
-                precond = lambda r: one_cycle(h, jnp.zeros_like(r), r)
+                precond = lambda r: one_cycle.zero(h, r)
             return matvec, rmatvec, precond
 
         if accel is None:
@@ -170,8 +181,8 @@ class DeviceMultilevelSolver:
                     it, x, normr, history = state
                     active = (normr >= rtol) & (it < maxiter)
                     if mixed:
-                        corr = one_cycle(
-                            h, jnp.zeros(x.shape, dtype=h.dtype),
+                        corr = one_cycle.zero(
+                            h,
                             (b - matvec(x)).astype(h.dtype)).astype(x.dtype)
                         x2 = x + corr
                     else:
@@ -348,7 +359,7 @@ class DeviceMultilevelSolver:
         """Jitted one-cycle application: r (padded) -> M r (padded)."""
         one_cycle = _make_cycle(len(self.hierarchy.levels),
                                 str(cycle).upper(), amli_depth)
-        fn = jax.jit(lambda h, r: one_cycle(h, jnp.zeros_like(r), r))
+        fn = jax.jit(lambda h, r: one_cycle.zero(h, r))
         return lambda r: fn(self.hierarchy, r)
 
     def aspreconditioner(self, cycle="V"):
