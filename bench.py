@@ -283,16 +283,28 @@ def main(grid=(2048, 2048), verbose=False):
     note("config1: batched multi-RHS cycle...")
     K = 8
     try:
-        one_cycle_b = jax.vmap(
-            lambda o, v: one_cycle(o, jnp.zeros_like(v), v),
-            in_axes=(None, 0))
-        bK = jnp.asarray(np.random.default_rng(7).random((K, n_pad)),
-                         dtype=jnp.float32)
-        t_cycle_K = _chained_time(jax, jnp, one_cycle_b, h, bK, k=32)
+        # batched workloads build with lane_align=True (round 4): the
+        # tile-aligned padded grid makes the batched strided grid ops
+        # ~4x faster at ~12% more padded rows — measured per-RHS
+        # V-cycle 2.87 -> 1.94 ms at 4.2M
+        dsa_al = device_sa_setup(A_dia, grid=grid, dtype=jnp.float32,
+                                 max_coarse=400, lane_align=True)
+        h_al = dsa_al.hierarchy
+        one_cycle_al = _make_cycle(len(h_al.levels), "V")
+        one_cycle_b = jax.vmap(lambda o, v: one_cycle_al.zero(o, v),
+                               in_axes=(None, 0))
+        bK = jnp.asarray(np.random.default_rng(7).random(
+            (K, h_al.levels[0].n_pad)), dtype=jnp.float32)
+        t_cycle_K = _chained_time(jax, jnp, one_cycle_b, h_al, bK, k=32)
+        t_cycle_al = _chained_time(
+            jax, jnp, lambda o, v: one_cycle_al.zero(o, v), h_al,
+            bK[0], k=64)
         batched = {
             "K": K,
+            "lane_align": True,
             "t_vcycle_per_rhs_ms": round(t_cycle_K / K * 1e3, 3),
-            "amortization_vs_single": round(t_cycle * K / t_cycle_K, 2),
+            "amortization_vs_single": round(
+                t_cycle_al * K / t_cycle_K, 2),
             "work_gnnz_s": round(cycle_nnz * K / t_cycle_K / 1e9, 4),
         }
     except Exception as e:   # a kernel-compile failure must not kill the
