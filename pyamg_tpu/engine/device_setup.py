@@ -382,11 +382,7 @@ class StructuredProlongator:
         return (int(np.prod(self.fine_grid_p)),
                 int(np.prod(self.coarse_grid_p)))
 
-    def __matmul__(self, xc):
-        # xc may carry SOLVE padding beyond the coarse padded grid (the
-        # power-of-two row padding that makes the fused DIA kernels
-        # engage — see _solve_pad); the grid semantics live in the
-        # leading prod(coarse_grid_p) entries.
+    def _smooth_input(self, xc):
         xc = xc[: int(np.prod(self.coarse_grid_p))]
         xc = _grid_unpad_vec(xc, self.coarse_grid, self.coarse_grid_p)
         t = self.tv * _broadcast_coarse(xc, self.coarse_grid, self.stride,
@@ -394,7 +390,33 @@ class StructuredProlongator:
         nf = int(np.prod(self.fine_grid_p))
         if self.S.n_pad != nf:
             t = jnp.pad(t, (0, self.S.n_pad - nf))
-        return self.S @ t
+        return t
+
+    def __matmul__(self, xc):
+        # xc may carry SOLVE padding beyond the coarse padded grid (the
+        # power-of-two row padding that makes the fused DIA kernels
+        # engage — see _solve_pad); the grid semantics live in the
+        # leading prod(coarse_grid_p) entries.
+        return self.S @ self._smooth_input(xc)
+
+    def apply_correction(self, xc, x):
+        """x + P @ xc with the add fused into the SpMV epilogue when
+        shapes line up (round 4, VERDICT item 4 — saves one full pass
+        over the correction intermediate).  Routed through a
+        custom_vmap entry so batched solves reroute to K-major
+        matmat."""
+        from ..sparse.dia import DIAMatrix, dia_spmv_add
+
+        t = self._smooth_input(xc)
+        if (isinstance(self.S, DIAMatrix)
+                and x.shape[0] == self.S.n_pad):
+            return dia_spmv_add(self.S, t, x)
+        y = self.S @ t
+        if y.shape[0] > x.shape[0]:
+            y = y[: x.shape[0]]
+        elif y.shape[0] < x.shape[0]:
+            y = jnp.pad(y, (0, x.shape[0] - y.shape[0]))
+        return x + y
 
 
 @jax.tree_util.register_pytree_node_class
@@ -442,7 +464,15 @@ class StructuredRestrictor:
     def __matmul__(self, r):
         # r arrives at the level's (solve-padded) n_pad = St.n_pad; the
         # grid semantics live in the leading prod(fine_grid_p) entries
-        y = (self.St @ r)[: int(np.prod(self.fine_grid_p))] * self.tv
+        from ..sparse.dia import DIAMatrix, dia_spmv_scaled
+
+        nf = int(np.prod(self.fine_grid_p))
+        if (isinstance(self.St, DIAMatrix)
+                and self.tv.shape[0] == self.St.n_pad):
+            # tv-scale fused into the SpMV epilogue (round 4)
+            y = dia_spmv_scaled(self.St, r, self.tv)[:nf]
+        else:
+            y = (self.St @ r)[:nf] * self.tv[:nf]
         yc = _block_sum(y, self.coarse_grid, self.stride)
         return _grid_pad_vec(yc, self.coarse_grid, self.coarse_grid_p)
 

@@ -109,7 +109,11 @@ def _make_cycle(nlev, cycle, amli_depth=2):
                     p_prev, Ap_prev = p, Ap
             else:
                 raise ValueError(f"unsupported device cycle {kind}")
-        x = x + _fitv(lvl.P @ xc, x.shape[0])
+        if hasattr(lvl.P, "apply_correction"):
+            # fused correction add (round 4): x + P@xc in one pass
+            x = lvl.P.apply_correction(xc, x)
+        else:
+            x = x + _fitv(lvl.P @ xc, x.shape[0])
         x = lvl.post(lvl.A, x, b)
         return x
 

@@ -400,7 +400,14 @@ def _dia_pallas_matmat_k(data, offsets, Xk, B, interpret=False):
     return y.reshape(K, -1)
 
 
-def _dia_pallas_matvec(data, offsets, x, B, interpret=False):
+def _dia_pallas_matvec(data, offsets, x, B, interpret=False,
+                       scale=None, addv=None):
+    """Fused DIA SpMV y = A@x, optionally with CENTER-BLOCK epilogues
+    (round 4, VERDICT item 4): ``scale`` -> y = scale * (A@x) (the
+    restrictor's tv factor), ``addv`` -> y = addv + A@x (the
+    prolongator's correction add).  Epilogue operands need no halo, so
+    they stream as plain center blocks; each fused epilogue saves one
+    full read+write pass over the intermediate (~0.09 ms at 4.2M)."""
     nd, n_pad = data.shape
     nb = n_pad // B
     R = B // 128
@@ -410,8 +417,17 @@ def _dia_pallas_matvec(data, offsets, x, B, interpret=False):
     cdtype = jnp.promote_types(data.dtype, x.dtype)
     x2 = x.reshape(-1, 128)         # NO pad: halos clamp (see _halo_chunks)
     data3 = data.reshape(nd, n_pad // 128, 128)
+    extras = []
+    if scale is not None:
+        extras.append(scale.reshape(-1, 128))
+    if addv is not None:
+        extras.append(addv.reshape(-1, 128))
+    has_scale = scale is not None
+    has_add = addv is not None
 
-    def kernel(xlo_ref, xc_ref, xhi_ref, d_ref, y_ref):
+    def kernel(xlo_ref, xc_ref, xhi_ref, d_ref, *rest):
+        e_refs = rest[:-1]
+        y_ref = rest[-1]
         xcat = jnp.concatenate(
             [xlo_ref[...], xc_ref[...], xhi_ref[...]],
             axis=0)                                        # (R + 2C, 128)
@@ -420,6 +436,12 @@ def _dia_pallas_matvec(data, offsets, x, B, interpret=False):
         for d, off in enumerate(offsets):
             sh = _dia_shifted(xcat, off, C * 128, R, lane)
             acc = acc + d_ref[d].astype(cdtype) * sh.astype(cdtype)
+        i = 0
+        if has_scale:
+            acc = acc * e_refs[i][...].astype(cdtype)
+            i += 1
+        if has_add:
+            acc = acc + e_refs[i][...].astype(cdtype)
         y_ref[...] = acc
 
     z = np.int32(0)
@@ -436,12 +458,66 @@ def _dia_pallas_matvec(data, offsets, x, B, interpret=False):
             pl.BlockSpec((C, 128),
                          lambda b: (jnp.minimum(b * Q32 + Q32, last), z)),
             pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
-        ],
+        ] + [pl.BlockSpec((R, 128), lambda b: (b, z)) for _ in extras],
         out_specs=pl.BlockSpec((R, 128), lambda b: (b, z)),
         out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
         interpret=interpret,
-    )(x2, x2, x2, data3)
+    )(x2, x2, x2, data3, *extras)
     return y.reshape(-1)
+
+
+def dia_pallas_matvec_fused(A, x, scale=None, addv=None, interpret=False):
+    """Gated entry for the epilogue-fused SpMV; None -> caller composes
+    the unfused form."""
+    B = _fused_block(A.data, A.offsets, x)
+    if B is None:
+        return None
+    n_pad = A.n_pad
+    if scale is not None and scale.shape != (n_pad,):
+        return None
+    if addv is not None and addv.shape != (n_pad,):
+        return None
+    return _dia_pallas_matvec(A.data, A.offsets, x, B, scale=scale,
+                              addv=addv, interpret=interpret)
+
+
+@jax.custom_batching.custom_vmap
+def dia_spmv_scaled(A, r, s):
+    """s * (A @ r) with the scale fused into the SpMV epilogue (the
+    structured restrictor's tv factor — round 4, VERDICT item 4).
+    Batched calls reroute to the K-major matmat + broadcast scale."""
+    y = dia_pallas_matvec_fused(A, r, scale=s)
+    if y is not None:
+        return y
+    return (A._matvec_impl(r)) * s
+
+
+@dia_spmv_scaled.def_vmap
+def _dia_spmv_scaled_rule(axis_size, in_batched, A, r, s):
+    A_b, r_b, s_b = in_batched
+    _cv_unbatched_operator(A_b, "DIA")
+    assert r_b, "rule invoked with no batched operand"
+    y = A.matmat_k(r)
+    return y * (s if s_b else s[None, :]), True
+
+
+@jax.custom_batching.custom_vmap
+def dia_spmv_add(A, t, x):
+    """x + A @ t with the add fused into the SpMV epilogue (the
+    prolongator's coarse-correction add)."""
+    y = dia_pallas_matvec_fused(A, t, addv=x)
+    if y is not None:
+        return y
+    return x + A._matvec_impl(t)
+
+
+@dia_spmv_add.def_vmap
+def _dia_spmv_add_rule(axis_size, in_batched, A, t, x):
+    A_b, t_b, x_b = in_batched
+    _cv_unbatched_operator(A_b, "DIA")
+    assert t_b, "rule invoked with no batched operand"
+    y = A.matmat_k(t)
+    return (x if x_b else x[None, :]) + y, True
 
 
 def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,

@@ -21,18 +21,18 @@ from pyamg_tpu.gallery import advection_2d
 
 out = {"backend": jax.default_backend()}
 g = (1024, 1024)
-A = advection_2d(g, theta=np.pi / 4.0)
+A, _rhs = advection_2d(g, theta=np.pi / 4.0)
 n = A.shape[0]
 out["n"] = int(n)
 
 t0 = time.time()
-ds = device_air_setup(A, grid=(1023, 1023), max_levels=8, max_coarse=400)
+ds = device_air_setup(A, grid=(1024, 1024), max_levels=8, max_coarse=400)
 float(ds.hierarchy.coarse_inv[0, 0])
 out["t_air_setup_cold_s"] = round(time.time() - t0, 1)
 out["levels"] = [int(l.n) for l in ds.hierarchy.levels]
 
 t0 = time.time()
-ds2 = device_air_setup(A, grid=(1023, 1023), max_levels=8,
+ds2 = device_air_setup(A, grid=(1024, 1024), max_levels=8,
                        max_coarse=400)
 float(ds2.hierarchy.coarse_inv[0, 0])
 out["t_air_setup_warm_s"] = round(time.time() - t0, 1)
