@@ -308,3 +308,31 @@ def test_windowed_select_interpret_f32_payloads():
             + np.asarray(W.idx))
     want = np.asarray(x)[gidx]
     np.testing.assert_allclose(got, want, rtol=2e-7, atol=0)
+
+
+def test_dia_epilogue_fused_matvec_interpret():
+    """scale/add epilogues of the fused DIA SpMV == composed forms
+    (round-4 transfer fusions: restrictor tv-scale, prolongator
+    correction-add)."""
+    from pyamg_tpu.sparse.dia import _dia_pallas_matvec
+    A = poisson((64, 64), format="csr")
+    D = dia_from_scipy(A, row_pad=128)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal(D.n_pad), dtype=jnp.float32)
+    s = jnp.asarray(rng.standard_normal(D.n_pad), dtype=jnp.float32)
+    c = jnp.asarray(rng.standard_normal(D.n_pad), dtype=jnp.float32)
+    B = 1024
+    base = np.asarray(_dia_pallas_matvec(D.data, D.offsets, x, B,
+                                         interpret=True))
+    got_s = np.asarray(_dia_pallas_matvec(D.data, D.offsets, x, B,
+                                          scale=s, interpret=True))
+    np.testing.assert_allclose(got_s, base * np.asarray(s), rtol=1e-6)
+    got_a = np.asarray(_dia_pallas_matvec(D.data, D.offsets, x, B,
+                                          addv=c, interpret=True))
+    np.testing.assert_allclose(got_a, base + np.asarray(c), rtol=1e-6,
+                               atol=1e-6)
+    got_sa = np.asarray(_dia_pallas_matvec(D.data, D.offsets, x, B,
+                                           scale=s, addv=c,
+                                           interpret=True))
+    np.testing.assert_allclose(got_sa, base * np.asarray(s)
+                               + np.asarray(c), rtol=1e-6, atol=1e-6)
