@@ -649,14 +649,18 @@ def device_air_setup(A, grid=None, dtype=jnp.float32, stride=2,
     1.3e3x first AMLI-3 cycle, 27 vs 22 fgmres iterations to 1e-10)
     or the host ``air_solver``.
 
-    **Scale guidance (measured round 3):** XLA compile time of the
-    fused AIR pipeline grows steeply with level count — a 7-level
-    1024^2 program did not finish compiling in 40 min, while 256^2
-    (4 levels) compiles in ~2 min cold.  For large nonsymmetric
-    problems prefer :func:`device_rs_setup` (recirc 1024^2: 23 s cold /
-    1.2 s warm setup, 43 mixed FGMRES iters to true 3e-10) or cap this
-    pipeline's size; AIR's near-exact advection reductions hold at the
-    sizes it compiles.
+    **Scale guidance:** round 3's ONE-program setup compiled
+    superlinearly in depth (a 7-level 1024^2 program did not finish in
+    40 min); the round-4 per-level split (:func:`_air_level_stage`)
+    compiles the same 7-level 1024^2 setup in **52 s cold / 0.4 s
+    warm** (measured, advection theta=pi/4) and solves with
+    ``cycle='W', accel='fgmres'`` in 30 iterations to 7e-9.  The
+    near-exact single-cycle reductions still hold only <=3 coarsenings
+    (the fixed-lattice C/F pattern, above); at depth, always
+    Krylov-wrap.  For nonsymmetric problems where total wall time
+    matters more than AIR semantics, :func:`device_rs_setup` remains
+    faster end-to-end (recirc 1024^2: 0.5 s warm setup + 0.48 s mixed
+    FGMRES to true 3e-10).
     """
     if jnp.dtype(dtype).itemsize == 8:
         jax.config.update("jax_enable_x64", True)

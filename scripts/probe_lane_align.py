@@ -28,10 +28,9 @@ A_dia = dia_from_stencil(S1, grid, dtype=jnp.float32)
 K = 8
 
 for align in (False, True):
-    ds._LANE_ALIGN_DEFAULT = align
     tag = "align" if align else "plain"
     dsa = device_sa_setup(A_dia, grid=grid, dtype=jnp.float32,
-                          max_coarse=400)
+                          max_coarse=400, lane_align=align)
     float(dsa.hierarchy.coarse_inv[0, 0])
     h = dsa.hierarchy
     out[f"{tag}_levels"] = [int(l.n_pad) for l in h.levels]
