@@ -1236,8 +1236,14 @@ def device_sa_setup(A, grid=None, B=None, dtype=jnp.float32, omega=4.0 / 3.0,
         P = StructuredProlongator(
             S=S_op, tv=tv, fine_grid_p=grid_p, coarse_grid=coarse_grid,
             coarse_grid_p=coarse_grid_p, stride=strides, center=centers)
+        # the restrictor's tv rides the SOLVE-padded St (zero pad: those
+        # rows are structurally absent) so the scale-epilogue fused gate
+        # (tv.shape == St.n_pad) engages on solve-padded hierarchies —
+        # it silently fell back to a separate scale pass before round 4
+        tv_r = (tv if St_op.n_pad == tv.shape[0]
+                else jnp.pad(tv, (0, St_op.n_pad - tv.shape[0])))
         R = StructuredRestrictor(
-            St=St_op, tv=tv, fine_grid_p=grid_p, coarse_grid=coarse_grid,
+            St=St_op, tv=tv_r, fine_grid_p=grid_p, coarse_grid=coarse_grid,
             coarse_grid_p=coarse_grid_p, stride=strides, center=centers)
         pre = _smoother_wrap(pre_key, pre_arr)
         post = _smoother_wrap(post_key, post_arr)

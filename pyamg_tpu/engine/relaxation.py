@@ -64,6 +64,29 @@ class DeviceSmoother:
         b) or skips the first residual SpMV (polynomial: r0 = b)."""
         return apply_smoother_zero(self.config, self.arrays, A, b)
 
+    def zero_call_residual(self, A, b):
+        """(x, r) = (zero_call(A, b), b - A @ x) — fused when the
+        smoother is a single weighted-Jacobi sweep on a DIA operator
+        (one kernel pass emits both; the cycle's zero-entry pre-smooth
+        -> residual chain saves ~3n HBM traffic per level).  Returns
+        None when no fused form applies; the caller composes."""
+        from ..sparse.dia import DIAMatrix, dia_jacobi_zero_res
+
+        kind = self.config[0]
+        if not isinstance(A, DIAMatrix):
+            return None
+        if kind == "jacobi":
+            _, omega, iterations = self.config
+            (dinv,) = self.arrays
+        elif kind == "jacobi_dyn":
+            _, iterations = self.config
+            dinv, omega = self.arrays
+        else:
+            return None
+        if iterations != 1 or dinv.shape != b.shape:
+            return None
+        return dia_jacobi_zero_res(A, b, dinv, omega)
+
 
 def identity():
     return DeviceSmoother(config=("identity",), arrays=())

@@ -583,6 +583,106 @@ def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,
     return y.reshape(-1)
 
 
+def dia_pallas_jacobi_zero_res(A, b, dinv, omega, interpret=False,
+                               force_B=None):
+    """Fused zero-guess Jacobi sweep + residual:
+
+        x = omega * dinv * b,   r = b - A @ x
+
+    in ONE kernel pass (round 4, VERDICT item 4: the V-cycle's
+    pre-smooth -> residual chain at every zero-entry level re-reads b
+    and re-writes/re-reads x between the two ops; fusing computes x on
+    the halo-extended block in VMEM and emits both outputs, saving
+    ~3n of HBM traffic per level visit).  Returns (x, r), or None when
+    the fused path doesn't apply.
+    """
+    B = force_B if force_B is not None else _fused_block(A.data,
+                                                         A.offsets, b)
+    if B is None or dinv.shape != b.shape:
+        return None
+    data, offsets = A.data, A.offsets
+    nd, n_pad = data.shape
+    nb = n_pad // B
+    R = B // 128
+    C = _halo_chunks(offsets, R,
+                     16 if jnp.bfloat16 in (data.dtype, b.dtype) else 8)
+    Q = R // C
+    cdtype = jnp.promote_types(data.dtype, b.dtype)
+    b2 = b.reshape(-1, 128)
+    di2 = dinv.reshape(-1, 128)
+    data3 = data.reshape(nd, n_pad // 128, 128)
+    om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
+
+    def kernel(om_ref, blo_ref, bc_ref, bhi_ref, dlo_ref, dc_ref,
+               dhi_ref, d_ref, x_ref, r_ref):
+        bcat = jnp.concatenate(
+            [blo_ref[...], bc_ref[...], bhi_ref[...]], axis=0)
+        dicat = jnp.concatenate(
+            [dlo_ref[...], dc_ref[...], dhi_ref[...]], axis=0)
+        w = om_ref[0, 0]
+        xcat = w * (dicat.astype(cdtype) * bcat.astype(cdtype))
+        lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        acc = jnp.zeros((R, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted(xcat, off, C * 128, R, lane)
+            acc = acc + d_ref[d].astype(cdtype) * sh
+        x_ref[...] = xcat[C:C + R]
+        r_ref[...] = bc_ref[...].astype(cdtype) - acc
+
+    z = np.int32(0)
+    one = np.int32(1)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
+    lo_spec = pl.BlockSpec((C, 128),
+                           lambda b: (jnp.maximum(b * Q32 - one, z), z))
+    c_spec = pl.BlockSpec((R, 128), lambda b: (b, z))
+    hi_spec = pl.BlockSpec(
+        (C, 128), lambda b: (jnp.minimum(b * Q32 + Q32, last), z))
+    x, r = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (z, z),
+                         memory_space=pltpu.SMEM),
+            lo_spec, c_spec, hi_spec,
+            lo_spec, c_spec, hi_spec,
+            pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
+        ],
+        out_specs=[c_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype)],
+        interpret=interpret,
+    )(om, b2, b2, b2, di2, di2, di2, data3)
+    return x.reshape(-1), r.reshape(-1)
+
+
+@jax.custom_batching.custom_vmap
+def dia_jacobi_zero_res(A, b, dinv, omega):
+    """(x, r) = (omega*dinv*b, b - A @ x) — the zero-entry pre-smooth +
+    residual chain as one fused pass (falls back to the composed form
+    off-TPU / when the fused gate rejects).  Batched calls reroute to
+    the K-major matmat."""
+    out = dia_pallas_jacobi_zero_res(A, b, dinv, omega)
+    if out is not None:
+        return out
+    x = omega * (dinv * b)
+    return x, b - A._matvec_impl(x)
+
+
+@dia_jacobi_zero_res.def_vmap
+def _dia_jacobi_zero_res_rule(axis_size, in_batched, A, b, dinv, omega):
+    A_b, b_b, di_b, om_b = in_batched
+    _cv_unbatched_operator(A_b, "DIA")
+    if di_b or any(jax.tree_util.tree_leaves(om_b)):
+        raise NotImplementedError(
+            "vmap over dinv/omega of the fused zero-residual step is "
+            "not supported; only b may be batched")
+    assert b_b, "rule invoked with no batched operand"
+    Xk = jnp.asarray(omega) * (dinv[None, :] * b)
+    Rk = b - A.matmat_k(Xk)
+    return (Xk, Rk), (True, True)
+
+
 def dia_pallas_jacobi_k(A, X, Bc, dinv, omega, interpret=False,
                         force_B=None):
     """Column-stack (n_pad, K) wrapper over the K-major fused Jacobi."""

@@ -101,16 +101,25 @@ for i in (0, 1):
         l = o.levels[i]
         return dia_spmv_add(l.P.S, v, v)
 
-    kms[f"L{i}_zero_call"] = net(zero_call, v)
-    kms[f"L{i}_jacobi"] = net(full_smooth, v)
-    kms[f"L{i}_residual"] = net(residual, v)
-    kms[f"L{i}_restrict"] = net(restrict_full, v)
-    kms[f"L{i}_spmv_scaled"] = net(spmv_scaled, v)
-    kms[f"L{i}_blocksum_pad"] = net(blocksum_pad, v)
-    kms[f"L{i}_smooth_input"] = net(smooth_input, v)
-    kms[f"L{i}_spmv_add"] = net(spmv_add, v)
-    kms[f"L{i}_prolong_corr"] = net(prolong_corr, v)
-    print({k_: v_ for k_, v_ in kms.items()}, flush=True)
+    def zero_res(o, v, i=i):
+        l = o.levels[i]
+        out = l.pre.zero_call_residual(l.A, v)
+        x, r = out
+        return x + r
+
+    for nm, st in [("zero_call", zero_call), ("jacobi", full_smooth),
+                   ("residual", residual), ("zero_res_fused", zero_res),
+                   ("restrict", restrict_full),
+                   ("spmv_scaled", spmv_scaled),
+                   ("blocksum_pad", blocksum_pad),
+                   ("smooth_input", smooth_input),
+                   ("spmv_add", spmv_add),
+                   ("prolong_corr", prolong_corr)]:
+        try:
+            kms[f"L{i}_{nm}"] = net(st, v)
+        except Exception as e:
+            kms[f"L{i}_{nm}"] = f"err: {str(e)[:120]}"
+        print(f"L{i}_{nm}", kms[f"L{i}_{nm}"], flush=True)
 
 # tail: levels >= 2 as one chained sub-cycle (what does the whole tail
 # cost?)

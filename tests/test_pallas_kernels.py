@@ -336,3 +336,69 @@ def test_dia_epilogue_fused_matvec_interpret():
                                            interpret=True))
     np.testing.assert_allclose(got_sa, base * np.asarray(s)
                                + np.asarray(c), rtol=1e-6, atol=1e-6)
+
+
+def test_dia_jacobi_zero_res_interpret():
+    """Fused zero-guess Jacobi + residual kernel == composed
+    (x, r) = (w*dinv*b, b - A@x), with Q>1 chunked halos exercised
+    (force_B=8192 on a 512^2 operator -> C=8, Q=8)."""
+    from pyamg_tpu.sparse.dia import dia_pallas_jacobi_zero_res
+
+    A = poisson((512, 512), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=32768)
+    rng = np.random.default_rng(7)
+    b = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    x_want = np.asarray(0.85 * (dinv * b))
+    r_want = np.asarray(b - D.matvec(jnp.asarray(x_want)))
+    x_got, r_got = dia_pallas_jacobi_zero_res(
+        D, b, dinv, 0.85, interpret=True, force_B=8192)
+    np.testing.assert_allclose(np.asarray(x_got), x_want, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_got), r_want, atol=2e-5)
+    # device-resident omega (jacobi_dyn form)
+    x_dyn, r_dyn = dia_pallas_jacobi_zero_res(
+        D, b, dinv, jnp.asarray(0.85, dtype=jnp.float32), interpret=True,
+        force_B=8192)
+    np.testing.assert_allclose(np.asarray(x_dyn), x_want, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_dyn), r_want, atol=2e-5)
+
+
+def test_zero_call_residual_smoother_path():
+    """DeviceSmoother.zero_call_residual matches the composed
+    zero_call + residual on the CPU fallback path, and the batched
+    (vmap) rule routes through the K-major matmat."""
+    import jax
+
+    from pyamg_tpu.engine import relaxation as rx
+
+    A = poisson((32, 32), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=128)
+    rng = np.random.default_rng(3)
+    b = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    sm = rx.jacobi(dinv, 0.85, iterations=1)
+    out = sm.zero_call_residual(D, b)
+    assert out is not None
+    x, r = out
+    x_want = sm.zero_call(D, b)
+    r_want = b - (D @ x_want)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_want),
+                               atol=1e-5)
+    # multi-sweep smoothers decline the fusion (caller composes)
+    assert rx.jacobi(dinv, 0.85, iterations=2).zero_call_residual(
+        D, b) is None
+
+    # batched: vmap over b lanes == per-lane composed results
+    Bk = jnp.stack([b, 2.0 * b, -b])
+    xk, rk = jax.vmap(lambda bb: sm.zero_call_residual(D, bb))(Bk)
+    for k in range(3):
+        xw = sm.zero_call(D, Bk[k])
+        np.testing.assert_allclose(np.asarray(xk[k]), np.asarray(xw),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rk[k]),
+                                   np.asarray(Bk[k] - (D @ xw)),
+                                   atol=1e-5)
