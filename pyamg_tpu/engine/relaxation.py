@@ -87,6 +87,29 @@ class DeviceSmoother:
             return None
         return dia_jacobi_zero_res(A, b, dinv, omega)
 
+    def call_residual(self, A, x, b):
+        """(y, r) = (self(A, x, b), b - A @ y) — fused when the smoother
+        is a single weighted-Jacobi sweep on a DIA operator (the
+        nonzero-entry analog of :meth:`zero_call_residual`, used by
+        W/F/AMLI repeat visits and standalone cycles).  Returns None
+        when no fused form applies; the caller composes."""
+        from ..sparse.dia import DIAMatrix, dia_jacobi_res
+
+        kind = self.config[0]
+        if not isinstance(A, DIAMatrix):
+            return None
+        if kind == "jacobi":
+            _, omega, iterations = self.config
+            (dinv,) = self.arrays
+        elif kind == "jacobi_dyn":
+            _, iterations = self.config
+            dinv, omega = self.arrays
+        else:
+            return None
+        if iterations != 1 or dinv.shape != b.shape or x.shape != b.shape:
+            return None
+        return dia_jacobi_res(A, x, b, dinv, omega)
+
 
 def identity():
     return DeviceSmoother(config=("identity",), arrays=())

@@ -350,11 +350,19 @@ def _dia_pallas_matmat(data, offsets, X, B, interpret=False):
                                 interpret=interpret).T
 
 
-def _dia_pallas_matmat_k(data, offsets, Xk, B, interpret=False):
+def _dia_pallas_matmat_k(data, offsets, Xk, B, interpret=False,
+                         scale=None, addk=None):
     """Fused multi-RHS DIA SpMV: the _dia_pallas_matvec geometry with K
     lane blocks resident per grid step; the diagonal data is read once
     per block for ALL lanes.  K-MAJOR in and out ((K, n_pad) lanes —
-    the batched-solve layout; no transposes anywhere on this path)."""
+    the batched-solve layout; no transposes anywhere on this path).
+
+    Optional CENTER-BLOCK epilogues (round 4, VERDICT item 3):
+    ``scale`` (n_pad,) -> Y = scale * (A@X) (the restrictor's shared tv
+    factor, one (R, 128) block broadcast over lanes); ``addk``
+    (K, n_pad) -> Y = addk + A@X (the prolongator's per-lane correction
+    add).  At K=8 a separate elementwise pass over a (K, n) stack costs
+    ~0.9 ms at 4.2M — 8x the single-RHS epilogue saving."""
     nd, n_pad = data.shape
     K = Xk.shape[0]
     nb = n_pad // B
@@ -365,8 +373,17 @@ def _dia_pallas_matmat_k(data, offsets, Xk, B, interpret=False):
     cdtype = jnp.promote_types(data.dtype, Xk.dtype)
     x3 = Xk.reshape(K, -1, 128)     # NO pad: halos clamp (_halo_chunks)
     data3 = data.reshape(nd, n_pad // 128, 128)
+    extras = []
+    if scale is not None:
+        extras.append((scale.reshape(-1, 128), False))
+    if addk is not None:
+        extras.append((addk.reshape(K, -1, 128), True))
+    has_scale = scale is not None
+    has_add = addk is not None
 
-    def kernel(xlo_ref, xc_ref, xhi_ref, d_ref, y_ref):
+    def kernel(xlo_ref, xc_ref, xhi_ref, d_ref, *rest):
+        e_refs = rest[:-1]
+        y_ref = rest[-1]
         xcat = jnp.concatenate(
             [xlo_ref[...], xc_ref[...], xhi_ref[...]],
             axis=1)                                      # (K, R+2C, 128)
@@ -375,12 +392,22 @@ def _dia_pallas_matmat_k(data, offsets, Xk, B, interpret=False):
         for d, off in enumerate(offsets):
             sh = _dia_shifted_k(xcat, off, C * 128, R, lane)
             acc = acc + d_ref[d][None].astype(cdtype) * sh.astype(cdtype)
+        i = 0
+        if has_scale:
+            acc = acc * e_refs[i][...][None].astype(cdtype)
+            i += 1
+        if has_add:
+            acc = acc + e_refs[i][...].astype(cdtype)
         y_ref[...] = acc
 
     z = np.int32(0)
     one = np.int32(1)
     Q32 = np.int32(Q)
     last = np.int32(n_pad // (C * 128) - 1)
+    extra_specs = [
+        (pl.BlockSpec((K, R, 128), lambda b: (z, b, z)) if per_lane
+         else pl.BlockSpec((R, 128), lambda b: (b, z)))
+        for _, per_lane in extras]
     y = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -392,12 +419,31 @@ def _dia_pallas_matmat_k(data, offsets, Xk, B, interpret=False):
                          lambda b: (z, jnp.minimum(b * Q32 + Q32, last),
                                     z)),
             pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((K, R, 128), lambda b: (z, b, z)),
         out_shape=jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype),
         interpret=interpret,
-    )(x3, x3, x3, data3)
+    )(x3, x3, x3, data3, *[a for a, _ in extras])
     return y.reshape(K, -1)
+
+
+def dia_pallas_matmat_k_fused(A, Xk, scale=None, addk=None,
+                              interpret=False):
+    """Gated entry for the epilogue-carrying K-major matmat; None ->
+    caller composes (CPU, dtype/shape gates)."""
+    K = Xk.shape[0]
+    if not 2 <= K <= 16:
+        return None
+    B = _fused_block_k(A.data, A.offsets, Xk.T, K)
+    if B is None:
+        return None
+    n_pad = A.n_pad
+    if scale is not None and scale.shape != (n_pad,):
+        return None
+    if addk is not None and addk.shape != Xk.shape:
+        return None
+    return _dia_pallas_matmat_k(A.data, A.offsets, Xk, B, scale=scale,
+                                addk=addk, interpret=interpret)
 
 
 def _dia_pallas_matvec(data, offsets, x, B, interpret=False,
@@ -497,6 +543,13 @@ def _dia_spmv_scaled_rule(axis_size, in_batched, A, r, s):
     A_b, r_b, s_b = in_batched
     _cv_unbatched_operator(A_b, "DIA")
     assert r_b, "rule invoked with no batched operand"
+    if not s_b:
+        # shared scale: one (R, 128) center block broadcast over lanes
+        # inside the K-major kernel (a separate (K, n) multiply pass
+        # costs ~0.9 ms at 4.2M/K=8)
+        y = dia_pallas_matmat_k_fused(A, r, scale=s)
+        if y is not None:
+            return y, True
     y = A.matmat_k(r)
     return y * (s if s_b else s[None, :]), True
 
@@ -516,8 +569,11 @@ def _dia_spmv_add_rule(axis_size, in_batched, A, t, x):
     A_b, t_b, x_b = in_batched
     _cv_unbatched_operator(A_b, "DIA")
     assert t_b, "rule invoked with no batched operand"
-    y = A.matmat_k(t)
-    return (x if x_b else x[None, :]) + y, True
+    xk = x if x_b else jnp.broadcast_to(x[None, :], t.shape)
+    y = dia_pallas_matmat_k_fused(A, t, addk=xk)
+    if y is not None:
+        return y, True
+    return xk + A.matmat_k(t), True
 
 
 def dia_pallas_jacobi(A, x, b, dinv, omega, interpret=False,
@@ -656,6 +712,233 @@ def dia_pallas_jacobi_zero_res(A, b, dinv, omega, interpret=False,
     return x.reshape(-1), r.reshape(-1)
 
 
+def dia_pallas_jacobi_res(A, x, b, dinv, omega, interpret=False,
+                          force_B=None):
+    """Fused weighted-Jacobi sweep + residual of the UPDATED iterate:
+
+        y = x + omega * dinv * (b - A @ x),   r = b - A @ y
+
+    in ONE kernel pass (round 4: the nonzero-entry pre-smooth ->
+    residual chain of W/F/AMLI repeat visits and standalone cycles; the
+    separate forms stream the A diagonals twice and re-read y from HBM
+    — fusing computes y on a double-halo-extended block in VMEM, saving
+    ~6n of traffic).  Returns (y, r), or None when the fused path
+    doesn't apply.
+
+    Stage 1 computes y on main-block rows +-C halo chunks (their A
+    shifts read x from a 2C-deep halo: five x specs, two clamped chunks
+    each side); stage 2 shifts the in-VMEM y.  Out-of-range halo rows
+    hold garbage that only ever multiplies structurally-zero diagonal
+    slots — the invariant every fused DIA kernel relies on.
+    """
+    B = force_B if force_B is not None else _fused_block(A.data,
+                                                         A.offsets, x)
+    if B is None or b.shape != x.shape or dinv.shape != x.shape:
+        return None
+    data, offsets = A.data, A.offsets
+    nd, n_pad = data.shape
+    nb = n_pad // B
+    R = B // 128
+    C = _halo_chunks(offsets, R,
+                     16 if jnp.bfloat16 in (data.dtype, x.dtype) else 8)
+    if R < 2 * C:
+        return None                 # need two distinct halo chunks
+    Q = R // C
+    cdtype = jnp.promote_types(data.dtype, x.dtype)
+    x2 = x.reshape(-1, 128)
+    b2 = b.reshape(-1, 128)
+    di2 = dinv.reshape(-1, 128)
+    data3 = data.reshape(nd, n_pad // 128, 128)
+    om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
+
+    def kernel(om_ref, xll_ref, xlo_ref, xc_ref, xhi_ref, xhh_ref,
+               blo_ref, bc_ref, bhi_ref, dlo_ref, dc_ref, dhi_ref,
+               glo_ref, gc_ref, ghi_ref, y_ref, r_ref):
+        xcat = jnp.concatenate(
+            [xll_ref[...], xlo_ref[...], xc_ref[...], xhi_ref[...],
+             xhh_ref[...]], axis=0)                     # (R+4C, 128)
+        bcat = jnp.concatenate(
+            [blo_ref[...], bc_ref[...], bhi_ref[...]], axis=0)
+        dicat = jnp.concatenate(
+            [dlo_ref[...], dc_ref[...], dhi_ref[...]], axis=0)
+        gcat = jnp.concatenate(
+            [glo_ref[...], gc_ref[...], ghi_ref[...]], axis=1)
+        w = om_ref[0, 0]
+        Re = R + 2 * C                  # extended row count for stage 1
+        lane_e = lax.broadcasted_iota(jnp.int32, (Re, 128), 1)
+        acc1 = jnp.zeros((Re, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted(xcat, off, C * 128, Re, lane_e)
+            acc1 = acc1 + gcat[d].astype(cdtype) * sh.astype(cdtype)
+        ycat = (xcat[C:C + Re].astype(cdtype)
+                + w * (dicat.astype(cdtype)
+                       * (bcat.astype(cdtype) - acc1)))
+        lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        acc2 = jnp.zeros((R, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted(ycat, off, C * 128, R, lane)
+            acc2 = acc2 + gcat[d, C:C + R].astype(cdtype) * sh
+        y_ref[...] = ycat[C:C + R]
+        r_ref[...] = bcat[C:C + R].astype(cdtype) - acc2
+
+    z = np.int32(0)
+    one = np.int32(1)
+    two = np.int32(2)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
+    ll_spec = pl.BlockSpec((C, 128),
+                           lambda b: (jnp.maximum(b * Q32 - two, z), z))
+    lo_spec = pl.BlockSpec((C, 128),
+                           lambda b: (jnp.maximum(b * Q32 - one, z), z))
+    c_spec = pl.BlockSpec((R, 128), lambda b: (b, z))
+    hi_spec = pl.BlockSpec(
+        (C, 128), lambda b: (jnp.minimum(b * Q32 + Q32, last), z))
+    hh_spec = pl.BlockSpec(
+        (C, 128), lambda b: (jnp.minimum(b * Q32 + Q32 + one, last), z))
+    glo_spec = pl.BlockSpec(
+        (nd, C, 128), lambda b: (z, jnp.maximum(b * Q32 - one, z), z))
+    gc_spec = pl.BlockSpec((nd, R, 128), lambda b: (z, b, z))
+    ghi_spec = pl.BlockSpec(
+        (nd, C, 128),
+        lambda b: (z, jnp.minimum(b * Q32 + Q32, last), z))
+    y, r = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (z, z),
+                         memory_space=pltpu.SMEM),
+            ll_spec, lo_spec, c_spec, hi_spec, hh_spec,
+            lo_spec, c_spec, hi_spec,
+            lo_spec, c_spec, hi_spec,
+            glo_spec, gc_spec, ghi_spec,
+        ],
+        out_specs=[c_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype)],
+        interpret=interpret,
+    )(om, x2, x2, x2, x2, x2, b2, b2, b2, di2, di2, di2,
+      data3, data3, data3)
+    return y.reshape(-1), r.reshape(-1)
+
+
+@jax.custom_batching.custom_vmap
+def dia_jacobi_res(A, x, b, dinv, omega):
+    """(y, r) = (x + omega*dinv*(b - A@x), b - A@y) — the nonzero-entry
+    pre-smooth + residual chain as one fused pass (composed fallback
+    off-TPU / when the fused gate rejects).  Batched calls reroute to
+    the K-major matmat forms."""
+    out = dia_pallas_jacobi_res(A, x, b, dinv, omega)
+    if out is not None:
+        return out
+    y = x + omega * (dinv * (b - A._matvec_impl(x)))
+    return y, b - A._matvec_impl(y)
+
+
+@dia_jacobi_res.def_vmap
+def _dia_jacobi_res_rule(axis_size, in_batched, A, x, b, dinv, omega):
+    A_b, x_b, b_b, di_b, om_b = in_batched
+    _cv_unbatched_operator(A_b, "DIA")
+    if di_b or any(jax.tree_util.tree_leaves(om_b)):
+        raise NotImplementedError(
+            "vmap over dinv/omega of the fused jacobi-residual step is "
+            "not supported; only x and b may be batched")
+
+    def lanes(v, is_b):
+        if is_b:
+            return v
+        return jnp.broadcast_to(v[None, :], (axis_size,) + v.shape)
+
+    Xk = lanes(x, x_b)
+    Bk = lanes(b, b_b)
+    Yk = dia_pallas_jacobi_km(A, Xk, Bk, dinv, omega)
+    if Yk is None:
+        Yk = Xk + jnp.asarray(omega) * (dinv[None, :]
+                                        * (Bk - A.matmat_k(Xk)))
+    Rk = Bk - A.matmat_k(Yk)
+    return (Yk, Rk), (True, True)
+
+
+def dia_pallas_jacobi_zero_res_km(A, Bk, dinv, omega, interpret=False,
+                                  force_B=None):
+    """K-lane fused zero-guess Jacobi + residual:
+
+        X = omega * dinv * B,   R = B - A @ X
+
+    one kernel pass for all K lanes, K-MAJOR (K, n_pad) in/out (the
+    batched analog of :func:`dia_pallas_jacobi_zero_res`; the composed
+    batch rule pays an extra full (K, n) stack round-trip — ~0.9 ms at
+    4.2M/K=8).  Returns (X, R) or None."""
+    if Bk.ndim != 2:
+        return None
+    K = Bk.shape[0]
+    if not 2 <= K <= 16:
+        return None
+    Bsz = force_B if force_B is not None else _fused_block_k(
+        A.data, A.offsets, Bk.T, K)
+    if Bsz is None or dinv.shape != (Bk.shape[1],):
+        return None
+    data, offsets = A.data, A.offsets
+    nd, n_pad = data.shape
+    nb = n_pad // Bsz
+    R = Bsz // 128
+    C = _halo_chunks(offsets, R,
+                     16 if jnp.bfloat16 in (data.dtype, Bk.dtype) else 8)
+    Q = R // C
+    cdtype = jnp.promote_types(data.dtype, Bk.dtype)
+    b3 = Bk.reshape(K, -1, 128)
+    di2 = dinv.reshape(-1, 128)
+    data3 = data.reshape(nd, n_pad // 128, 128)
+    om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
+
+    def kernel(om_ref, blo_ref, bc_ref, bhi_ref, dlo_ref, dc_ref,
+               dhi_ref, d_ref, x_ref, r_ref):
+        bcat = jnp.concatenate(
+            [blo_ref[...], bc_ref[...], bhi_ref[...]],
+            axis=1)                                      # (K, R+2C, 128)
+        dicat = jnp.concatenate(
+            [dlo_ref[...], dc_ref[...], dhi_ref[...]], axis=0)
+        w = om_ref[0, 0]
+        xcat = w * (dicat[None].astype(cdtype) * bcat.astype(cdtype))
+        lane = lax.broadcasted_iota(jnp.int32, (1, R, 128), 2)
+        acc = jnp.zeros((K, R, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted_k(xcat, off, C * 128, R, lane)
+            acc = acc + d_ref[d][None].astype(cdtype) * sh
+        x_ref[...] = xcat[:, C:C + R]
+        r_ref[...] = bc_ref[...].astype(cdtype) - acc
+
+    z = np.int32(0)
+    one = np.int32(1)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
+    klo_spec = pl.BlockSpec(
+        (K, C, 128), lambda b: (z, jnp.maximum(b * Q32 - one, z), z))
+    kc_spec = pl.BlockSpec((K, R, 128), lambda b: (z, b, z))
+    khi_spec = pl.BlockSpec(
+        (K, C, 128),
+        lambda b: (z, jnp.minimum(b * Q32 + Q32, last), z))
+    x, r = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (z, z),
+                         memory_space=pltpu.SMEM),
+            klo_spec, kc_spec, khi_spec,
+            pl.BlockSpec((C, 128),
+                         lambda b: (jnp.maximum(b * Q32 - one, z), z)),
+            pl.BlockSpec((R, 128), lambda b: (b, z)),
+            pl.BlockSpec((C, 128),
+                         lambda b: (jnp.minimum(b * Q32 + Q32, last), z)),
+            pl.BlockSpec((nd, R, 128), lambda b: (z, b, z)),
+        ],
+        out_specs=[kc_spec, kc_spec],
+        out_shape=[jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype),
+                   jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype)],
+        interpret=interpret,
+    )(om, b3, b3, b3, di2, di2, di2, data3)
+    return x.reshape(K, -1), r.reshape(K, -1)
+
+
 @jax.custom_batching.custom_vmap
 def dia_jacobi_zero_res(A, b, dinv, omega):
     """(x, r) = (omega*dinv*b, b - A @ x) — the zero-entry pre-smooth +
@@ -678,6 +961,9 @@ def _dia_jacobi_zero_res_rule(axis_size, in_batched, A, b, dinv, omega):
             "vmap over dinv/omega of the fused zero-residual step is "
             "not supported; only b may be batched")
     assert b_b, "rule invoked with no batched operand"
+    out = dia_pallas_jacobi_zero_res_km(A, b, dinv, omega)
+    if out is not None:
+        return out, (True, True)
     Xk = jnp.asarray(omega) * (dinv[None, :] * b)
     Rk = b - A.matmat_k(Xk)
     return (Xk, Rk), (True, True)

@@ -130,7 +130,8 @@ def tail(o, v):
     import jax.tree_util as jtu
     from pyamg_tpu.engine.hierarchy import DeviceHierarchy
     h2 = DeviceHierarchy(levels=o.levels[2:], coarse_inv=o.coarse_inv,
-                         nc_pad=o.nc_pad, dtype=o.dtype, A64=None)
+                         nc=o.nc, nc_pad=o.nc_pad, dtype=o.dtype,
+                         A64=None)
     return sub(h2, jnp.zeros_like(v), v)
 
 

@@ -402,3 +402,109 @@ def test_zero_call_residual_smoother_path():
         np.testing.assert_allclose(np.asarray(rk[k]),
                                    np.asarray(Bk[k] - (D @ xw)),
                                    atol=1e-5)
+
+
+def test_dia_jacobi_res_interpret():
+    """Fused nonzero-entry Jacobi sweep + residual kernel == composed
+    (y, r) = (x + w*dinv*(b - A@x), b - A@y), with the double-halo
+    (2C) stage-1 extension exercised at both array ends."""
+    from pyamg_tpu.sparse.dia import dia_pallas_jacobi_res
+
+    A = poisson((512, 512), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=32768)
+    rng = np.random.default_rng(11)
+    x = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    b = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    y_want = np.asarray(x + 0.85 * (dinv * (b - D.matvec(x))))
+    r_want = np.asarray(b - D.matvec(jnp.asarray(y_want)))
+    out = dia_pallas_jacobi_res(D, x, b, dinv, 0.85, interpret=True,
+                                force_B=8192)
+    assert out is not None
+    y_got, r_got = out
+    np.testing.assert_allclose(np.asarray(y_got), y_want, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_got), r_want, atol=2e-5)
+
+
+def test_call_residual_smoother_path():
+    """DeviceSmoother.call_residual matches composed sweep + residual on
+    the CPU fallback path and under vmap."""
+    import jax
+
+    from pyamg_tpu.engine import relaxation as rx
+
+    A = poisson((32, 32), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=128)
+    rng = np.random.default_rng(5)
+    x = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    b = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    sm = rx.jacobi(dinv, 0.85, iterations=1)
+    out = sm.call_residual(D, x, b)
+    assert out is not None
+    y, r = out
+    y_want = sm(D, x, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r),
+                               np.asarray(b - (D @ y_want)), atol=1e-5)
+
+    Xk = jnp.stack([x, -x, 0.0 * x])
+    Bk = jnp.stack([b, 2.0 * b, b])
+    yk, rk = jax.vmap(lambda xx, bb: sm.call_residual(D, xx, bb))(Xk, Bk)
+    for k in range(3):
+        yw = sm(D, Xk[k], Bk[k])
+        np.testing.assert_allclose(np.asarray(yk[k]), np.asarray(yw),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rk[k]),
+                                   np.asarray(Bk[k] - (D @ yw)),
+                                   atol=1e-5)
+
+
+def test_dia_fused_matmat_k_epilogues_interpret():
+    """K-major matmat epilogues: scale (shared (n,) factor) and addk
+    (per-lane (K, n) add) == composed forms."""
+    from pyamg_tpu.sparse.dia import _dia_pallas_matmat_k
+
+    A = poisson((64, 64), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=1024)
+    rng = np.random.default_rng(13)
+    K = 4
+    Xk = jnp.asarray(rng.random((K, D.n_pad)), dtype=jnp.float32)
+    s = jnp.asarray(rng.random(D.n_pad), dtype=jnp.float32)
+    Zk = jnp.asarray(rng.random((K, D.n_pad)), dtype=jnp.float32)
+    base = np.stack([np.asarray(D.matvec(Xk[k])) for k in range(K)])
+    got_s = np.asarray(_dia_pallas_matmat_k(
+        D.data, D.offsets, Xk, 1024, scale=s, interpret=True))
+    np.testing.assert_allclose(got_s, base * np.asarray(s)[None, :],
+                               atol=2e-6)
+    got_a = np.asarray(_dia_pallas_matmat_k(
+        D.data, D.offsets, Xk, 1024, addk=Zk, interpret=True))
+    np.testing.assert_allclose(got_a, base + np.asarray(Zk), atol=2e-6)
+
+
+def test_dia_jacobi_zero_res_km_interpret():
+    """K-lane fused zero-guess Jacobi + residual == composed per-lane
+    (x, r) = (w*dinv*b, b - A@x)."""
+    from pyamg_tpu.sparse.dia import dia_pallas_jacobi_zero_res_km
+
+    A = poisson((64, 64), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=1024)
+    rng = np.random.default_rng(17)
+    K = 4
+    Bk = jnp.asarray(rng.random((K, D.n_pad)), dtype=jnp.float32)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    out = dia_pallas_jacobi_zero_res_km(D, Bk, dinv, 0.85,
+                                        interpret=True, force_B=1024)
+    assert out is not None
+    Xg, Rg = out
+    for k in range(K):
+        xw = np.asarray(0.85 * (dinv * Bk[k]))
+        np.testing.assert_allclose(np.asarray(Xg[k]), xw, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(Rg[k]),
+            np.asarray(Bk[k] - D.matvec(jnp.asarray(xw))), atol=2e-5)
