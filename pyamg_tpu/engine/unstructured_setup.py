@@ -227,14 +227,21 @@ def _strength_mask(W: WindowedELL, theta):
     return mask, jnp.abs(data), col
 
 
-@partial(jax.jit, static_argnames=("theta", "seed"))
-def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
+@partial(jax.jit, static_argnames=("theta", "seed", "densify"))
+def _stage_roots(W: WindowedELL, theta=0.0, seed=0, densify=True):
     """Strength + DISTANCE-2 Luby MIS over the windowed adjacency —
     the parallel analog of the reference's standard_aggregation, whose
     aggregate roots are distance-2 separated (every non-root ends up
     within 2 strong hops of a root, which is what _assign_cval's two
     joining rounds and the distance-2 T window hulls assume).  Returns
-    the root mask (n,) f32 (1.0 at aggregate roots)."""
+    the root mask (n,) f32 (1.0 at aggregate roots).
+
+    ``densify=False`` skips the shell-promotion pass below: aggregates
+    grow to radius 2 (AGGRESSIVE coarsening, ratio ~8-10 on 2-D meshes
+    vs ~3 densified) — fewer/smaller coarse levels at a measured ~+4 CG
+    iteration cost; _assign_cval's round 2 still covers every node the
+    strength graph connects, and the T/P hulls are planned for the same
+    two hops either way."""
     n_pad = W.n_pad
     diag = W.diagonal()
     valid = diag != 0
@@ -282,6 +289,8 @@ def _stage_roots(W: WindowedELL, theta=0.0, seed=0):
 
     _, state = lax.while_loop(cond, body, (0, state0))
     root = state == 1
+    if not densify:
+        return root.astype(jnp.float32)
 
     # DENSIFY (convergence parity with the reference's greedy pass,
     # measured +4 CG iters without it): the MIS-2 random packing leaves
@@ -579,7 +588,8 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
                                  postsmoother=("jacobi",
                                                {"omega": 4.0 / 3.0}),
                                  improve_candidates_iters=0,
-                                 mixed_precision=False, seed=0):
+                                 mixed_precision=False, seed=0,
+                                 aggregate="standard"):
     """Build an SA hierarchy ON DEVICE for an unstructured operator.
 
     ``A``: scipy sparse, structurally-symmetric pattern, windowable
@@ -587,7 +597,16 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
     otherwise).  Everything value-carrying stays on device; the host
     sees one root-mask pull + one scalar per level for static window
     planning.  Returns a DeviceMultilevelSolver.
+
+    ``aggregate``: 'standard' (densified MIS-2 roots, reference-parity
+    aggregate granularity ~3 nodes on 2-D meshes) or 'aggressive'
+    (radius-2 aggregates, coarsening ratio ~8-10: coarse levels shrink
+    ~3x, cutting the windowed one-hot apply cost on every level below
+    the finest, at a measured ~+4 Krylov-iteration cost — the better
+    end-to-end trade when coarse-level applies dominate cycle time).
     """
+    if aggregate not in ("standard", "aggressive"):
+        raise ValueError(f"unknown aggregate mode {aggregate!r}")
     if mixed_precision:
         raise NotImplementedError(
             "mixed-precision (f64 outer Krylov) needs an f64 finest "
@@ -622,7 +641,8 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
         if cur_n <= max_coarse:
             break
         # ---- stage A: roots on device; ONE small host pull ------------
-        root_f = _stage_roots(cur, theta=float(theta), seed=seed + lev)
+        root_f = _stage_roots(cur, theta=float(theta), seed=seed + lev,
+                              densify=(aggregate == "standard"))
         root_host = np.asarray(root_f) > 0.5
         nc = int(root_host.sum())
         if nc == 0 or nc >= cur_n:

@@ -206,3 +206,44 @@ def test_auto_route_from_device_sa_setup():
     assert res[-1] / res[0] < 1e-5
     r = np.linalg.norm(b - A @ np.asarray(x[:n], dtype=np.float64))
     assert r / np.linalg.norm(b) < 1e-3
+
+
+def test_aggressive_aggregation_mode():
+    """aggregate='aggressive' (radius-2 aggregates, no densify pass):
+    coarsening is strictly stronger than 'standard' and CG still
+    converges within a modest iteration premium."""
+    import jax.numpy as jnp
+
+    from pyamg_tpu.engine.unstructured_setup import (
+        device_unstructured_sa_setup)
+
+    A = _fem_matrix(40)     # SPD-shifted (pure Neumann is singular)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+
+    std = device_unstructured_sa_setup(A, max_coarse=50)
+    agg = device_unstructured_sa_setup(A, max_coarse=50,
+                                       aggregate="aggressive")
+    nc_std = std.setup_info["levels"][0]["nc"]
+    nc_agg = agg.setup_info["levels"][0]["nc"]
+    assert nc_agg < nc_std, (nc_agg, nc_std)
+    # radius-2 aggregates: ratio should be well beyond the densified ~3
+    assert n / nc_agg > 1.5 * (n / nc_std)
+
+    res_s, res_a = [], []
+    std.solve(jnp.asarray(b, dtype=jnp.float32), tol=1e-6, maxiter=80,
+              accel="cg", residuals=res_s)
+    x = agg.solve(jnp.asarray(b, dtype=jnp.float32), tol=1e-6,
+                  maxiter=80, accel="cg", residuals=res_a)
+    res_s = [r for r in np.asarray(res_s) if not np.isnan(r)]
+    res_a = [r for r in np.asarray(res_a) if not np.isnan(r)]
+    # converged, within a bounded premium over standard
+    assert res_a[-1] / res_a[0] < 1e-5
+    assert len(res_a) - 1 <= (len(res_s) - 1) + 12, (len(res_a),
+                                                     len(res_s))
+    r = np.linalg.norm(b - A @ np.asarray(x[:n], dtype=np.float64))
+    assert r / np.linalg.norm(b) < 1e-4
+
+    with pytest.raises(ValueError, match="aggregate"):
+        device_unstructured_sa_setup(A, aggregate="bogus")
