@@ -473,7 +473,14 @@ class StructuredRestrictor:
             y = dia_spmv_scaled(self.St, r, self.tv)[:nf]
         else:
             y = (self.St @ r)[:nf] * self.tv[:nf]
-        yc = _block_sum(y, self.coarse_grid, self.stride)
+        return self._finish(y)
+
+    def _finish(self, y):
+        """Per-aggregate block sum + coarse-grid pad — the back half of
+        the restriction, shared with the fused zero-entry chain (which
+        produces y = tv * (St @ r) without materializing r)."""
+        nf = int(np.prod(self.fine_grid_p))
+        yc = _block_sum(y[:nf], self.coarse_grid, self.stride)
         return _grid_pad_vec(yc, self.coarse_grid, self.coarse_grid_p)
 
 

@@ -43,6 +43,43 @@ def _fitv(v, n):
     return jnp.pad(v, (0, n - v.shape[0]))
 
 
+def _fused_zero_entry_chain(lvl, b):
+    """Try the fully-fused zero-entry level front-end (round 4):
+
+        x = pre.zero_call(A, b);  y = tv * (St @ (b - A@x))
+
+    as ONE kernel pass (sparse/dia.py::dia_zero_chain — the residual is
+    dead after the restrict, so the separate kernels pay a full r
+    write + halo read for nothing).  Returns (x, unpadded rc) or None;
+    requires a single-sweep Jacobi pre-smoother on a DIA operator and a
+    factored StructuredRestrictor with solve-padded tv."""
+    from ..sparse.dia import DIAMatrix, dia_zero_chain
+
+    R = lvl.R
+    St = getattr(R, "St", None)
+    tv = getattr(R, "tv", None)
+    finish = getattr(R, "_finish", None)
+    if St is None or tv is None or finish is None:
+        return None
+    if not isinstance(St, DIAMatrix) or not isinstance(lvl.A, DIAMatrix):
+        return None
+    cfg = lvl.pre.config
+    kind = cfg[0]
+    if kind == "jacobi":
+        _, omega, iters = cfg
+        (dinv,) = lvl.pre.arrays
+    elif kind == "jacobi_dyn":
+        _, iters = cfg
+        dinv, omega = lvl.pre.arrays
+    else:
+        return None
+    if (iters != 1 or dinv.shape != b.shape
+            or tv.shape[0] != St.n_pad or St.n_pad != b.shape[0]):
+        return None
+    x, y = dia_zero_chain(lvl.A, St, b, dinv, tv, omega)
+    return x, finish(y)
+
+
 def _make_cycle(nlev, cycle, amli_depth=2):
     """Build the trace-time cycle recursion (SURVEY.md §7 step 3).
     ``amli_depth`` = number of A_c-orthogonalized coarse corrections per
@@ -66,17 +103,24 @@ def _make_cycle(nlev, cycle, amli_depth=2):
         itself).  True for every coarse-level entry and for the finest
         level under preconditioner use (round 4, VERDICT item 4)."""
         lvl = h.levels[i]
-        # one kernel pass emits both the entry sweep and its residual
-        # (round 4, VERDICT item 4); smoothers without a fused form
-        # return None and the composed chain below runs instead
-        fused = (lvl.pre.zero_call_residual(lvl.A, b) if xz
-                 else lvl.pre.call_residual(lvl.A, x, b))
-        if fused is not None:
-            x, r = fused
+        # fused entry front-ends (round 4, VERDICT item 4): deepest
+        # first — zero-entry sweep + residual + scaled restrict as one
+        # kernel (the residual never touches HBM), else sweep +
+        # residual as one kernel, else the composed chain
+        chain = _fused_zero_entry_chain(lvl, b) if xz else None
+        if chain is not None:
+            x, rc_raw = chain
+            rc = _fitv(rc_raw, h.levels[i + 1].n_pad)
         else:
-            x = lvl.pre.zero_call(lvl.A, b) if xz else lvl.pre(lvl.A, x, b)
-            r = b - (lvl.A @ x)
-        rc = _fitv(lvl.R @ r, h.levels[i + 1].n_pad)
+            fused = (lvl.pre.zero_call_residual(lvl.A, b) if xz
+                     else lvl.pre.call_residual(lvl.A, x, b))
+            if fused is not None:
+                x, r = fused
+            else:
+                x = (lvl.pre.zero_call(lvl.A, b) if xz
+                     else lvl.pre(lvl.A, x, b))
+                r = b - (lvl.A @ x)
+            rc = _fitv(lvl.R @ r, h.levels[i + 1].n_pad)
         if i == nlev - 2:
             xc = h.coarse_solve(rc)
         else:

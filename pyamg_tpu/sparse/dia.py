@@ -858,6 +858,157 @@ def _dia_jacobi_res_rule(axis_size, in_batched, A, x, b, dinv, omega):
     return (Yk, Rk), (True, True)
 
 
+def dia_pallas_zero_chain(A, St, b, dinv, tv, omega, interpret=False,
+                          force_B=None):
+    """Fused ZERO-ENTRY level chain: pre-smooth + residual + scaled
+    restrict front-end,
+
+        x = omega * dinv * b
+        r = b - A @ x          (never materialized in HBM)
+        y = tv * (St @ r)
+
+    in ONE kernel pass (round 4: in the V-cycle's zero-entry visit the
+    residual is DEAD after the restrict, so the separate kernels pay a
+    full r write + halo read for nothing).  ``St`` is the structured
+    restrictor's smoothing-factor transpose; the caller finishes the
+    restriction with the block_sum.  Returns (x, y) or None.
+
+    Stage geometry: y at center rows needs r at +-C halo chunks, which
+    needs x at +-2C — b/dinv stream with double halos (five specs,
+    clamped), A's diagonals with single halos, St/tv center-only.
+    Clamped out-of-range reads only ever multiply structurally-zero
+    diagonal slots (the fused-DIA invariant)."""
+    B = force_B if force_B is not None else _fused_block(A.data,
+                                                         A.offsets, b)
+    if B is None or dinv.shape != b.shape:
+        return None
+    if St.n_pad != A.data.shape[1] or tv.shape != b.shape:
+        return None
+    data, offsets = A.data, A.offsets
+    sdata, soffsets = St.data, St.offsets
+    nd, n_pad = data.shape
+    nds = sdata.shape[0]
+    nb = n_pad // B
+    R = B // 128
+    C = _halo_chunks(tuple(offsets) + tuple(soffsets), R,
+                     16 if jnp.bfloat16 in (data.dtype, b.dtype) else 8)
+    if R < 2 * C:
+        return None
+    Q = R // C
+    cdtype = jnp.promote_types(data.dtype, b.dtype)
+    b2 = b.reshape(-1, 128)
+    di2 = dinv.reshape(-1, 128)
+    tv2 = tv.reshape(-1, 128)
+    data3 = data.reshape(nd, n_pad // 128, 128)
+    sdata3 = sdata.reshape(nds, n_pad // 128, 128)
+    om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
+
+    def kernel(om_ref, bll_ref, blo_ref, bc_ref, bhi_ref, bhh_ref,
+               dll_ref, dlo_ref, dc_ref, dhi_ref, dhh_ref,
+               glo_ref, gc_ref, ghi_ref, s_ref, tv_ref, x_ref, y_ref):
+        bcat = jnp.concatenate(
+            [bll_ref[...], blo_ref[...], bc_ref[...], bhi_ref[...],
+             bhh_ref[...]], axis=0)                       # (R+4C, 128)
+        dicat = jnp.concatenate(
+            [dll_ref[...], dlo_ref[...], dc_ref[...], dhi_ref[...],
+             dhh_ref[...]], axis=0)
+        gcat = jnp.concatenate(
+            [glo_ref[...], gc_ref[...], ghi_ref[...]], axis=1)
+        w = om_ref[0, 0]
+        xcat = w * (dicat.astype(cdtype) * bcat.astype(cdtype))
+        Re = R + 2 * C
+        lane_e = lax.broadcasted_iota(jnp.int32, (Re, 128), 1)
+        acc1 = jnp.zeros((Re, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted(xcat, off, C * 128, Re, lane_e)
+            acc1 = acc1 + gcat[d].astype(cdtype) * sh
+        rcat = bcat[C:C + Re].astype(cdtype) - acc1       # r, extended
+        lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        acc2 = jnp.zeros((R, 128), dtype=cdtype)
+        for d, off in enumerate(soffsets):
+            sh = _dia_shifted(rcat, off, C * 128, R, lane)
+            acc2 = acc2 + s_ref[d].astype(cdtype) * sh
+        x_ref[...] = xcat[2 * C:2 * C + R]
+        y_ref[...] = tv_ref[...].astype(cdtype) * acc2
+
+    z = np.int32(0)
+    one = np.int32(1)
+    two = np.int32(2)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
+    ll_spec = pl.BlockSpec((C, 128),
+                           lambda b: (jnp.maximum(b * Q32 - two, z), z))
+    lo_spec = pl.BlockSpec((C, 128),
+                           lambda b: (jnp.maximum(b * Q32 - one, z), z))
+    c_spec = pl.BlockSpec((R, 128), lambda b: (b, z))
+    hi_spec = pl.BlockSpec(
+        (C, 128), lambda b: (jnp.minimum(b * Q32 + Q32, last), z))
+    hh_spec = pl.BlockSpec(
+        (C, 128), lambda b: (jnp.minimum(b * Q32 + Q32 + one, last), z))
+    glo_spec = pl.BlockSpec(
+        (nd, C, 128), lambda b: (z, jnp.maximum(b * Q32 - one, z), z))
+    gc_spec = pl.BlockSpec((nd, R, 128), lambda b: (z, b, z))
+    ghi_spec = pl.BlockSpec(
+        (nd, C, 128),
+        lambda b: (z, jnp.minimum(b * Q32 + Q32, last), z))
+    s_spec = pl.BlockSpec((nds, R, 128), lambda b: (z, b, z))
+    x, y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (z, z),
+                         memory_space=pltpu.SMEM),
+            ll_spec, lo_spec, c_spec, hi_spec, hh_spec,
+            ll_spec, lo_spec, c_spec, hi_spec, hh_spec,
+            glo_spec, gc_spec, ghi_spec,
+            s_spec, c_spec,
+        ],
+        out_specs=[c_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype),
+                   jax.ShapeDtypeStruct((n_pad // 128, 128), cdtype)],
+        interpret=interpret,
+    )(om, b2, b2, b2, b2, b2, di2, di2, di2, di2, di2,
+      data3, data3, data3, sdata3, tv2)
+    return x.reshape(-1), y.reshape(-1)
+
+
+@jax.custom_batching.custom_vmap
+def dia_zero_chain(A, St, b, dinv, tv, omega):
+    """(x, y) = (omega*dinv*b, tv * (St @ (b - A@x))) — the zero-entry
+    pre-smooth + residual + scaled-restrict front-end as one fused pass
+    (composed fallback off-TPU / when the gate rejects).  Batched calls
+    reroute to the K-major fused forms."""
+    out = dia_pallas_zero_chain(A, St, b, dinv, tv, omega)
+    if out is not None:
+        return out
+    x = omega * (dinv * b)
+    r = b - A._matvec_impl(x)
+    return x, tv * St._matvec_impl(r)
+
+
+@dia_zero_chain.def_vmap
+def _dia_zero_chain_rule(axis_size, in_batched, A, St, b, dinv, tv,
+                         omega):
+    A_b, St_b, b_b, di_b, tv_b, om_b = in_batched
+    _cv_unbatched_operator(A_b, "DIA")
+    _cv_unbatched_operator(St_b, "DIA")
+    if di_b or tv_b or any(jax.tree_util.tree_leaves(om_b)):
+        raise NotImplementedError(
+            "vmap over dinv/tv/omega of the fused zero chain is not "
+            "supported; only b may be batched")
+    assert b_b, "rule invoked with no batched operand"
+    out = dia_pallas_jacobi_zero_res_km(A, b, dinv, omega)
+    if out is not None:
+        Xk, Rk = out
+    else:
+        Xk = jnp.asarray(omega) * (dinv[None, :] * b)
+        Rk = b - A.matmat_k(Xk)
+    Yk = dia_pallas_matmat_k_fused(St, Rk, scale=tv)
+    if Yk is None:
+        Yk = St.matmat_k(Rk) * tv[None, :]
+    return (Xk, Yk), (True, True)
+
+
 def dia_pallas_jacobi_zero_res_km(A, Bk, dinv, omega, interpret=False,
                                   force_B=None):
     """K-lane fused zero-guess Jacobi + residual:

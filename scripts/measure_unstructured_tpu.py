@@ -25,6 +25,8 @@ from pyamg_tpu.gallery import gradgradform, regular_triangle_mesh
 
 out = {"backend": jax.default_backend()}
 NX = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+MODE = sys.argv[2] if len(sys.argv) > 2 else "standard"
+out["aggregate"] = MODE
 
 t0 = time.time()
 V, E = regular_triangle_mesh(NX, NX)
@@ -43,7 +45,8 @@ from pyamg_tpu.engine.unstructured_setup import device_unstructured_sa_setup
 
 # ---- device setup: cold (incl. compile through the relay) ------------
 t0 = time.time()
-dsa = device_unstructured_sa_setup(A, max_coarse=1000)
+dsa = device_unstructured_sa_setup(A, max_coarse=1000,
+                                   aggregate=MODE)
 # force completion of all async device work
 float(dsa.hierarchy.coarse_inv[0, 0])
 out["t_device_setup_cold_s"] = round(time.time() - t0, 2)
@@ -52,7 +55,8 @@ out["setup_info"] = dsa.setup_info
 
 # warm: same geometry -> all jits cached
 t0 = time.time()
-dsa2 = device_unstructured_sa_setup(A, max_coarse=1000)
+dsa2 = device_unstructured_sa_setup(A, max_coarse=1000,
+                                    aggregate=MODE)
 float(dsa2.hierarchy.coarse_inv[0, 0])
 out["t_device_setup_warm_s"] = round(time.time() - t0, 2)
 

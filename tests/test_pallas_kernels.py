@@ -508,3 +508,72 @@ def test_dia_jacobi_zero_res_km_interpret():
         np.testing.assert_allclose(
             np.asarray(Rg[k]),
             np.asarray(Bk[k] - D.matvec(jnp.asarray(xw))), atol=2e-5)
+
+
+def test_dia_zero_chain_interpret():
+    """Fused zero-entry chain kernel (x, y) == composed
+    (w*dinv*b, tv * (St @ (b - A@x))), double-halo stage-1 exercised
+    at both array ends."""
+    from pyamg_tpu.sparse.dia import dia_pallas_zero_chain
+
+    A = poisson((512, 512), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=32768)
+    # St: a different 5-diag operator on the same pattern (the
+    # smoothing-factor transpose in the real pipeline)
+    St = dia_from_scipy(
+        (0.1 * A + 0.9 * sp.eye(A.shape[0], format="csr")).tocsr(),
+        dtype=jnp.float32, row_pad=32768)
+    rng = np.random.default_rng(23)
+    b = pad_vector(jnp.asarray(rng.random(A.shape[0]), dtype=jnp.float32),
+                   D.n_pad)
+    tv = pad_vector(jnp.asarray(rng.random(A.shape[0]),
+                                dtype=jnp.float32), D.n_pad)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    x_want = np.asarray(0.85 * (dinv * b))
+    r = b - D.matvec(jnp.asarray(x_want))
+    y_want = np.asarray(tv * St.matvec(r))
+    out = dia_pallas_zero_chain(D, St, b, dinv, tv, 0.85,
+                                interpret=True, force_B=8192)
+    assert out is not None
+    x_got, y_got = out
+    np.testing.assert_allclose(np.asarray(x_got), x_want, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(y_got), y_want, atol=2e-5)
+
+
+def test_zero_chain_cycle_equivalence():
+    """The fused zero-entry front-end leaves device-built V-cycle
+    results unchanged (CPU: composed fallback path through the same
+    wiring) and the batched rule matches per-lane results."""
+    import jax
+
+    from pyamg_tpu.engine import device_sa_setup
+    from pyamg_tpu.engine.solver import (_fused_zero_entry_chain,
+                                         _make_cycle)
+    from pyamg_tpu.sparse import dia_from_stencil
+
+    S1 = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], dtype=float)
+    Ad = dia_from_stencil(S1, (48, 48), dtype=jnp.float32)
+    dsa = device_sa_setup(Ad, grid=(48, 48), dtype=jnp.float32,
+                          max_coarse=100)
+    h = dsa.hierarchy
+    lvl = h.levels[0]
+    b = jnp.asarray(np.random.default_rng(3).random(lvl.n_pad),
+                    dtype=jnp.float32)
+    out = _fused_zero_entry_chain(lvl, b)
+    assert out is not None, "chain gate should engage on the SA level"
+    x, rc = out
+    x_want = lvl.pre.zero_call(lvl.A, b)
+    rc_want = lvl.R @ (b - (lvl.A @ x_want))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_want),
+                               rtol=1e-4, atol=1e-4)
+
+    # batched: vmapped cycle == per-lane single cycles
+    oc = _make_cycle(len(h.levels), "V")
+    Bk = jnp.stack([b, 2.0 * b, -0.5 * b])
+    yk = jax.vmap(lambda v: oc.zero(h, v))(Bk)
+    for k in range(3):
+        yw = oc.zero(h, Bk[k])
+        np.testing.assert_allclose(np.asarray(yk[k]), np.asarray(yw),
+                                   rtol=1e-4, atol=1e-4)
