@@ -972,6 +972,132 @@ def dia_pallas_zero_chain(A, St, b, dinv, tv, omega, interpret=False,
     return x.reshape(-1), y.reshape(-1)
 
 
+def dia_pallas_zero_chain_km(A, St, Bk, dinv, tv, omega,
+                             interpret=False, force_B=None):
+    """K-lane fused zero-entry chain: per lane
+
+        x = omega * dinv * b,  y = tv * (St @ (b - A@x))
+
+    with the residual held in VMEM (the K-major analog of
+    :func:`dia_pallas_zero_chain`; at K=8 the composed rule's (K, n)
+    residual round-trip costs ~0.6 ms at 4.2M).  Returns (X, Y) or
+    None.  Uses B=16384 when the default block's double-halo working
+    set would exceed the scoped-VMEM budget."""
+    if Bk.ndim != 2:
+        return None
+    K = Bk.shape[0]
+    if not 2 <= K <= 16:
+        return None
+    Bsz = force_B if force_B is not None else _fused_block_k(
+        A.data, A.offsets, Bk.T, K)
+    if Bsz is None or dinv.shape != (Bk.shape[1],):
+        return None
+    if St.n_pad != A.data.shape[1] or tv.shape != dinv.shape:
+        return None
+    data, offsets = A.data, A.offsets
+    sdata, soffsets = St.data, St.offsets
+    nd, n_pad = data.shape
+    nds = sdata.shape[0]
+    if force_B is None:
+        # three K-lane working arrays (xq, r, y) live simultaneously;
+        # halve the block if the default would crowd the scoped VMEM
+        while Bsz > 16384 and n_pad % (Bsz // 2) == 0 and \
+                (nd + nds + 14 * K) * Bsz * 4 > 9 * 2 ** 20:
+            Bsz //= 2
+    nb = n_pad // Bsz
+    R = Bsz // 128
+    C = _halo_chunks(tuple(offsets) + tuple(soffsets), R,
+                     16 if jnp.bfloat16 in (data.dtype, Bk.dtype) else 8)
+    if R < 2 * C:
+        return None
+    Q = R // C
+    cdtype = jnp.promote_types(data.dtype, Bk.dtype)
+    b3 = Bk.reshape(K, -1, 128)
+    di2 = dinv.reshape(-1, 128)
+    tv2 = tv.reshape(-1, 128)
+    data3 = data.reshape(nd, n_pad // 128, 128)
+    sdata3 = sdata.reshape(nds, n_pad // 128, 128)
+    om = jnp.asarray(omega, dtype=cdtype).reshape(1, 1)
+
+    def kernel(om_ref, bll_ref, blo_ref, bc_ref, bhi_ref, bhh_ref,
+               dll_ref, dlo_ref, dc_ref, dhi_ref, dhh_ref,
+               glo_ref, gc_ref, ghi_ref, s_ref, tv_ref, x_ref, y_ref):
+        bcat = jnp.concatenate(
+            [bll_ref[...], blo_ref[...], bc_ref[...], bhi_ref[...],
+             bhh_ref[...]], axis=1)                    # (K, R+4C, 128)
+        dicat = jnp.concatenate(
+            [dll_ref[...], dlo_ref[...], dc_ref[...], dhi_ref[...],
+             dhh_ref[...]], axis=0)                    # (R+4C, 128)
+        gcat = jnp.concatenate(
+            [glo_ref[...], gc_ref[...], ghi_ref[...]], axis=1)
+        w = om_ref[0, 0]
+        xcat = w * (dicat[None].astype(cdtype) * bcat.astype(cdtype))
+        Re = R + 2 * C
+        lane_e = lax.broadcasted_iota(jnp.int32, (1, Re, 128), 2)
+        acc1 = jnp.zeros((K, Re, 128), dtype=cdtype)
+        for d, off in enumerate(offsets):
+            sh = _dia_shifted_k(xcat, off, C * 128, Re, lane_e)
+            acc1 = acc1 + gcat[d][None].astype(cdtype) * sh
+        rcat = bcat[:, C:C + Re].astype(cdtype) - acc1
+        lane = lax.broadcasted_iota(jnp.int32, (1, R, 128), 2)
+        acc2 = jnp.zeros((K, R, 128), dtype=cdtype)
+        for d, off in enumerate(soffsets):
+            sh = _dia_shifted_k(rcat, off, C * 128, R, lane)
+            acc2 = acc2 + s_ref[d][None].astype(cdtype) * sh
+        x_ref[...] = xcat[:, 2 * C:2 * C + R]
+        y_ref[...] = tv_ref[...][None].astype(cdtype) * acc2
+
+    z = np.int32(0)
+    one = np.int32(1)
+    two = np.int32(2)
+    Q32 = np.int32(Q)
+    last = np.int32(n_pad // (C * 128) - 1)
+    kll = pl.BlockSpec((K, C, 128),
+                       lambda b: (z, jnp.maximum(b * Q32 - two, z), z))
+    klo = pl.BlockSpec((K, C, 128),
+                       lambda b: (z, jnp.maximum(b * Q32 - one, z), z))
+    kc = pl.BlockSpec((K, R, 128), lambda b: (z, b, z))
+    khi = pl.BlockSpec(
+        (K, C, 128), lambda b: (z, jnp.minimum(b * Q32 + Q32, last), z))
+    khh = pl.BlockSpec(
+        (K, C, 128),
+        lambda b: (z, jnp.minimum(b * Q32 + Q32 + one, last), z))
+    ll = pl.BlockSpec((C, 128),
+                      lambda b: (jnp.maximum(b * Q32 - two, z), z))
+    lo = pl.BlockSpec((C, 128),
+                      lambda b: (jnp.maximum(b * Q32 - one, z), z))
+    c = pl.BlockSpec((R, 128), lambda b: (b, z))
+    hi = pl.BlockSpec(
+        (C, 128), lambda b: (jnp.minimum(b * Q32 + Q32, last), z))
+    hh = pl.BlockSpec(
+        (C, 128), lambda b: (jnp.minimum(b * Q32 + Q32 + one, last), z))
+    glo = pl.BlockSpec(
+        (nd, C, 128), lambda b: (z, jnp.maximum(b * Q32 - one, z), z))
+    gc = pl.BlockSpec((nd, R, 128), lambda b: (z, b, z))
+    ghi = pl.BlockSpec(
+        (nd, C, 128),
+        lambda b: (z, jnp.minimum(b * Q32 + Q32, last), z))
+    s_spec = pl.BlockSpec((nds, R, 128), lambda b: (z, b, z))
+    x, y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (z, z),
+                         memory_space=pltpu.SMEM),
+            kll, klo, kc, khi, khh,
+            ll, lo, c, hi, hh,
+            glo, gc, ghi,
+            s_spec, c,
+        ],
+        out_specs=[kc, kc],
+        out_shape=[jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype),
+                   jax.ShapeDtypeStruct((K, n_pad // 128, 128), cdtype)],
+        interpret=interpret,
+    )(om, b3, b3, b3, b3, b3, di2, di2, di2, di2, di2,
+      data3, data3, data3, sdata3, tv2)
+    return x.reshape(K, -1), y.reshape(K, -1)
+
+
 @jax.custom_batching.custom_vmap
 def dia_zero_chain(A, St, b, dinv, tv, omega):
     """(x, y) = (omega*dinv*b, tv * (St @ (b - A@x))) — the zero-entry
@@ -997,6 +1123,9 @@ def _dia_zero_chain_rule(axis_size, in_batched, A, St, b, dinv, tv,
             "vmap over dinv/tv/omega of the fused zero chain is not "
             "supported; only b may be batched")
     assert b_b, "rule invoked with no batched operand"
+    out = dia_pallas_zero_chain_km(A, St, b, dinv, tv, omega)
+    if out is not None:
+        return out, (True, True)
     out = dia_pallas_jacobi_zero_res_km(A, b, dinv, omega)
     if out is not None:
         Xk, Rk = out

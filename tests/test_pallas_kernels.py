@@ -577,3 +577,31 @@ def test_zero_chain_cycle_equivalence():
         yw = oc.zero(h, Bk[k])
         np.testing.assert_allclose(np.asarray(yk[k]), np.asarray(yw),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_dia_zero_chain_km_interpret():
+    """K-lane fused zero-entry chain == composed per-lane
+    (x, y) = (w*dinv*b, tv * (St @ (b - A@x)))."""
+    from pyamg_tpu.sparse.dia import dia_pallas_zero_chain_km
+
+    A = poisson((128, 128), format="csr")
+    D = dia_from_scipy(A, dtype=jnp.float32, row_pad=4096)
+    St = dia_from_scipy(
+        (0.1 * A + 0.9 * sp.eye(A.shape[0], format="csr")).tocsr(),
+        dtype=jnp.float32, row_pad=4096)
+    rng = np.random.default_rng(29)
+    K = 4
+    Bk = jnp.asarray(rng.random((K, D.n_pad)), dtype=jnp.float32)
+    tv = pad_vector(jnp.asarray(rng.random(A.shape[0]),
+                                dtype=jnp.float32), D.n_pad)
+    dinv = jnp.where(D.diagonal() != 0, 1.0 / D.diagonal(), 0.0)
+    out = dia_pallas_zero_chain_km(D, St, Bk, dinv, tv, 0.85,
+                                   interpret=True, force_B=4096)
+    assert out is not None
+    Xg, Yg = out
+    for k in range(K):
+        xw = np.asarray(0.85 * (dinv * Bk[k]))
+        r = Bk[k] - D.matvec(jnp.asarray(xw))
+        yw = np.asarray(tv * St.matvec(r))
+        np.testing.assert_allclose(np.asarray(Xg[k]), xw, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(Yg[k]), yw, atol=2e-5)
