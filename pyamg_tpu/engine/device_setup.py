@@ -543,10 +543,18 @@ def _spread_contract(v, mats, transpose):
     """Contract each grid dim of v (lead batch dims allowed) with its
     one-hot matrix: the MXU form of embed/broadcast/block_sum.
 
-    On TPU the values ride the Dekker 3-way bf16 split (exact for
-    one-hot selection; sums-of-3 carry only the <=2^-26 split tail);
-    elsewhere a plain f32 contraction (exact).  Round 4 (VERDICT items
-    3/4): lax.pad-interior embed and reduce_window spreads measured
+    EXACT (Precision.HIGHEST) everywhere.  The round-4 Dekker-split
+    bf16 form was measured ~2x cheaper BUT cost 5-17 extra CG
+    iterations at >=1024^2: the split's <=2^-26 recombination error
+    differs between the spread (prolong) and block_sum (restrict)
+    directions, so R stopped being P^T to fp accuracy and the V-cycle
+    preconditioner lost the symmetry CG requires — a textbook instance
+    of the repo-wide rule that device compute paths never run
+    default/reduced-precision dots.  Exact one-hot selection keeps the
+    transfer pair an exact transpose pair (spread is rounding-free;
+    block_sum rounds only in f32 addition, like any f32 sum).
+
+    lax.pad-interior embed and reduce_window spreads measured
     0.45-0.60 ms single and ~0.6x amortization under vmap at 4.2M —
     the dot_general forms are traffic-bound and batch natively."""
     nbatch = v.ndim - len(mats)
@@ -558,20 +566,11 @@ def _spread_contract(v, mats, transpose):
             out = jnp.moveaxis(
                 jnp.tensordot(out, Md.astype(dtype),
                               axes=((nbatch + d,), (1,)),
-                              preferred_element_type=acc_dtype),
+                              preferred_element_type=acc_dtype,
+                              precision=lax.Precision.HIGHEST),
                 -1, nbatch + d)
         return out
 
-    if jax.default_backend() == "tpu" and v.dtype == jnp.float32:
-        from ..sparse.window import _split3_bf16
-        acc = None
-        for p in _split3_bf16(v):
-            t = apply(p, jnp.bfloat16, jnp.float32)
-            acc = t if acc is None else acc + t
-        return acc
-    # exact contraction in the value dtype (f64 setup goldens; CPU —
-    # TPU f32 always takes the split branch above, TPU f64 is emulated
-    # exactly)
     return apply(v, v.dtype, v.dtype)
 
 
