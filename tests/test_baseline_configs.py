@@ -145,21 +145,28 @@ def test_config5_recirc_nonsymmetric_bicgstab_partitioned():
         assert relres < 1e-6, relres
 
 
-def test_config5_energy_degree2_quality():
-    """Pins the round-4 config5 tuning (VERDICT item 7): degree-2
-    energy-min prolongation smoothing beats the round-3 degree-1 recipe
-    on recirculating flow and the gap grows with size (measured 256^2:
-    conv .31->.23, 512^2: .38->.27).  Guards both the degree-2 conv
-    factor and its superiority so a smoothing regression can't silently
-    bring back the 49-iteration 1024^2 behavior."""
-    A = recirc_flow((96, 96), epsilon=1e-2)
-    b = np.random.default_rng(4).random(A.shape[0])
+def test_config5_bench_recipe_device_path_quality():
+    """Pins the config5 bench recipe through the path the bench actually
+    times (round 5, VERDICT items 1a/1c).
 
-    def build(degree):
-        return pyamg_tpu.smoothed_aggregation_solver(
+    The round-4 pin compared energy-smoothing degrees on 96^2 HOST
+    solves (exact sequential GS-NR) — but the bench's time-to-1e-8 is a
+    DEVICE solve where gauss_seidel_nr is substituted by the parallel
+    Cimmino sweep (engine/hierarchy.py:178), and under Cimmino the
+    degree-2 trend INVERTS (probe, device path at 256^2: degree-1
+    25 iters / conv 0.434, degree-2 28 / 0.473; at 1024^2 degree-2 hit
+    the maxiter cap at relres 3.3e-5).  So this test (a) runs the exact
+    bench.py recipe, (b) through compile_hierarchy mixed + device
+    BiCGStab — same substitution as the bench — and (c) asserts true
+    1e-8 convergence with a conv factor that predicted 1024^2 behavior
+    (degree-2's device conv at this scale, 0.473, fails this bound)."""
+    A = recirc_flow((256, 256), epsilon=1e-2)
+    b = np.random.default_rng(4).random(A.shape[0])
+    with pytest.warns(UserWarning, match="Cimmino"):
+        ml = pyamg_tpu.smoothed_aggregation_solver(
             A, symmetry="nonsymmetric",
             smooth=("energy", {"krylov": "gmres", "maxiter": 3,
-                               "degree": degree}),
+                               "degree": 1}),
             strength="symmetric",
             improve_candidates=(("gauss_seidel_nr",
                                  {"sweep": "symmetric", "iterations": 4}),
@@ -168,13 +175,13 @@ def test_config5_energy_degree2_quality():
                                              "iterations": 2}),
             postsmoother=("gauss_seidel_nr", {"sweep": "symmetric",
                                               "iterations": 2}))
-
-    convs = {}
-    for degree in (1, 2):
-        ml = build(degree)
-        res = []
-        ml.solve(b, tol=1e-8, maxiter=100, accel="bicgstab",
-                 residuals=res)
-        convs[degree] = (res[-1] / res[0]) ** (1.0 / (len(res) - 1))
-    assert convs[2] < 0.30, convs
-    assert convs[2] < convs[1] + 0.02, convs
+        dml = DeviceMultilevelSolver(
+            compile_hierarchy(ml, dtype=jnp.float32,
+                              mixed_precision=True, coarse_cutoff=1024))
+    res = []
+    dml.solve(b, tol=1e-8, maxiter=60, accel="bicgstab",
+              precision="mixed", residuals=res)
+    rel = res[-1] / res[0]
+    conv = rel ** (1.0 / (len(res) - 1))
+    assert rel <= 1e-8, (rel, len(res) - 1)
+    assert conv < 0.46, conv
