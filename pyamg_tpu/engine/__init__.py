@@ -17,6 +17,8 @@ from .krylov import (device_bicgstab, device_cg, device_cgne,
                      device_minimal_residual, device_steepest_descent)
 from .solver import DeviceMultilevelSolver, as_device_solver
 from .unstructured_setup import device_unstructured_sa_setup
+from .unstructured_classical import (device_unstructured_rs_setup,
+                                    device_unstructured_air_setup)
 
 __all__ = [
     "DeviceHierarchy",
@@ -38,6 +40,8 @@ __all__ = [
     "device_sa_setup",
     "device_sa_setup_block",
     "device_unstructured_sa_setup",
+    "device_unstructured_rs_setup",
+    "device_unstructured_air_setup",
     "EmbeddedProlongator",
     "EmbeddedRestrictor",
     "BlockStructuredProlongator",

@@ -39,9 +39,12 @@ splitting and per-row interpolation loops become, on a regular grid:
   survive compaction — deltas ∈ {0, ±2} fine = {0, ±1} coarse).
 
 Scope: scalar stencil operators on rectangular grids (2-D/3-D), the
-classical family's structured problems (BASELINE config 3).  Fully
-unstructured classical AMG stays on the host path
-(`ruge_stuben_solver` + `compile_hierarchy`), the parity reference.
+classical family's structured problems (BASELINE config 3).  Grid-less
+operators auto-route to the UNSTRUCTURED classical device pipeline
+(round 5, :mod:`engine.unstructured_classical`: PMIS + modified
+interpolation / Neumann AIR on windowed operators); the host path
+(`ruge_stuben_solver` + `compile_hierarchy`) remains the parity
+reference.
 """
 
 from __future__ import annotations
@@ -668,7 +671,19 @@ def device_air_setup(A, grid=None, dtype=jnp.float32, stride=2,
         if not (sp.issparse(A) or isinstance(A, np.ndarray)):
             raise ValueError("grid= is required for DIAMatrix inputs")
         from .device_setup import detect_grid
-        grid = detect_grid(A)
+        try:
+            grid = detect_grid(A)
+        except ValueError:
+            # not a grid stencil: route to unstructured AIR (round 5 —
+            # PMIS + one-point P + Neumann ideal restriction on
+            # windowed operators, engine/unstructured_classical.py)
+            from .unstructured_classical import \
+                device_unstructured_air_setup
+            return device_unstructured_air_setup(
+                A, dtype=dtype, degree=degree, max_coarse=max_coarse,
+                max_levels=max_levels, f_iterations=f_iterations,
+                c_iterations=c_iterations, omega=omega,
+                mixed_precision=mixed_precision)
     grid = tuple(int(g) for g in grid)
     dim = len(grid)
     n = int(np.prod(grid))
@@ -787,7 +802,30 @@ def device_rs_setup(A, grid=None, dtype=jnp.float32, stride="auto",
         if not (sp.issparse(A) or isinstance(A, np.ndarray)):
             raise ValueError("grid= is required for DIAMatrix inputs")
         from .device_setup import detect_grid
-        grid = detect_grid(A)
+        try:
+            grid = detect_grid(A)
+        except ValueError:
+            # not a grid stencil: route to the UNSTRUCTURED classical
+            # device pipeline (round 5 — PMIS + modified interpolation
+            # on windowed operators, engine/unstructured_classical.py).
+            # Raises ValueError itself when not windowable either
+            # (caller falls back to host setup).
+            from .unstructured_classical import \
+                device_unstructured_rs_setup
+            kw = {}
+            # pass smoothers through only when the caller overrode this
+            # function's defaults — otherwise let the unstructured
+            # pipeline use its own (jacobi x2, the symmetric-GS work
+            # parity point measured round 5)
+            _default = ("jacobi", {"omega": 4.0 / 3.0})
+            if presmoother != _default:
+                kw["presmoother"] = presmoother
+            if postsmoother != _default:
+                kw["postsmoother"] = postsmoother
+            return device_unstructured_rs_setup(
+                A, dtype=dtype, max_coarse=max_coarse,
+                max_levels=max_levels, mixed_precision=mixed_precision,
+                **kw)
     grid = tuple(int(g) for g in grid)
     dim = len(grid)
     n = int(np.prod(grid))

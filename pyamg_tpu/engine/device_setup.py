@@ -89,7 +89,20 @@ def detect_grid(A):
     A = sp.csr_matrix(A)
     n = A.shape[0]
     coo = A.tocoo()
-    offs = np.unique(np.abs(coo.col - coo.row))
+    signed = np.unique(coo.col - coo.row)
+    # a d-dim stencil has at most 3^d distinct offsets (27 for 3-D
+    # 27-point; blocked elasticity ~21); a PERMUTED operator has
+    # O(bandwidth) distinct offsets (measured: RCM'd 48^2 advection ->
+    # 95) yet its offset set can still "factor" into a bogus grid —
+    # round 5 caught detect_grid returning (48, 3, 4, 4) for exactly
+    # that matrix, which would route it down the structured path with
+    # wrong semantics.
+    if len(signed) > 49:
+        raise ValueError(
+            f"{len(signed)} distinct structural offsets — not a grid "
+            "stencil; pass grid= explicitly or use the unstructured "
+            "path")
+    offs = np.unique(np.abs(signed))
     offs = offs[offs > 0]
 
     def next_extent(offs, limit):

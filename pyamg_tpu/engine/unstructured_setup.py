@@ -576,6 +576,90 @@ def _band_to_dense(A_band, cstarts, *, nc, nc_pad):
     return dense.reshape(nb_c * bc, nc_pad)[:nc_pad]
 
 
+def _rcm_perm(A):
+    """RCM permutation over the symmetrized structure |A| + |A^T|
+    (host planning only; handles nonsymmetric patterns)."""
+    from scipy.sparse import csgraph
+    Aa = sp.csr_matrix((np.abs(A.data), A.indices, A.indptr),
+                       shape=A.shape)
+    S = (Aa + Aa.T).tocsr()
+    return np.asarray(csgraph.reverse_cuthill_mckee(
+        S, symmetric_mode=True)).astype(np.int64)
+
+
+class ReorderedSolver:
+    """Solve-phase wrapper for hierarchies built in RCM-permuted space
+    (round 5, VERDICT r4 item 4): when an operator is not windowable
+    under its native ordering, the unstructured setups reorder with RCM
+    (``graph.symmetric_rcm`` semantics), build on device in permuted
+    space, and this wrapper permutes b / un-permutes x around each
+    solve.  The permutation itself runs HOST-side (NumPy fancy
+    indexing): a device-side permute would be an XLA gather — forbidden
+    on the TPU path (DESIGN.md rule 1).  The residual history is
+    ordering-invariant, so convergence behavior matches a manual
+    pre-reordering exactly."""
+
+    def __init__(self, inner, perm):
+        self._inner = inner
+        self._perm = np.asarray(perm)
+        self._iperm = np.argsort(self._perm)
+        self.hierarchy = inner.hierarchy
+        self.setup_info = dict(getattr(inner, "setup_info", {}))
+        self.setup_info["reordered"] = "rcm"
+
+    def solve(self, b, x0=None, **kw):
+        if kw.get("device_out"):
+            raise ValueError(
+                "device_out is unsupported on auto-reordered solves "
+                "(the un-permutation runs host-side); reorder the "
+                "operator yourself to keep the solution on device")
+        bp = np.asarray(b)[self._perm]
+        if x0 is not None:
+            x0 = np.asarray(x0)[self._perm]
+        out = self._inner.solve(bp, x0=x0, **kw)
+        if isinstance(out, tuple):          # return_info=True
+            x, info = out
+            return np.asarray(x)[self._iperm], info
+        return np.asarray(out)[self._iperm]
+
+
+def _next_from_band(A_band, cstarts, nc, nc_pad, bc, dtype):
+    """Banded coarse operator -> next-level WindowedELL + its span plan.
+
+    Shared tail of every unstructured coarsening step (SA round 4;
+    classical round 5): top-k extraction of the band, then next-level
+    windowed geometry from the MEASURED support (two tiny D2H pulls) —
+    the hull plan overestimates ~4x and window width multiplies every
+    apply's one-hot cost."""
+    kc = max(int(_band_nnz_max(A_band)), 1)
+    vals, ws = _extract_topk(A_band, kc)                 # (kc, nc_pad)
+    # columns = cstart(block) + w
+    cs_rows = jnp.repeat(cstarts.astype(jnp.float32), bc)[:nc_pad]
+    cols = ws + cs_rows[None, :]
+    c_block = 1024 if nc >= 4096 else 256
+    nb2 = pad_to(nc, c_block) // c_block
+    blo_d, bhi_d = _col_bounds(vals, cols, gr=c_block)
+    slo_d, shi_d = _col_bounds(vals, cols, gr=bc)
+    blo_h = np.asarray(blo_d)[:nb2]
+    bhi_h = np.asarray(bhi_d)[:nb2]
+    ok_b = np.isfinite(blo_h)
+    g_lo = np.where(ok_b, blo_h, 0).astype(np.int64)
+    g_hi = np.maximum(np.where(ok_b, bhi_h, 0).astype(np.int64) + 1,
+                      g_lo + 1)
+    c_w2, c_starts, c_mch = _pick_geometry(g_lo, g_hi, c_block, nc)
+    c_geom = (c_block, c_w2, tuple(c_starts.tolist()), c_mch)
+    cur = _make_windowed(vals[:, :nc], cols[:, :nc], nc, c_geom,
+                         dtype, nnz=int(kc * nc))
+    slo_h = np.asarray(slo_d)
+    shi_h = np.asarray(shi_d)
+    ok_s = np.isfinite(slo_h)
+    spans = _SpanPlan(
+        nc, bc,
+        np.where(ok_s, slo_h, nc).astype(np.int64),
+        np.where(ok_s, shi_h + 1, 0).astype(np.int64))
+    return cur, spans
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -589,7 +673,7 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
                                                {"omega": 4.0 / 3.0}),
                                  improve_candidates_iters=0,
                                  mixed_precision=False, seed=0,
-                                 aggregate="standard"):
+                                 aggregate="standard", reorder="auto"):
     """Build an SA hierarchy ON DEVICE for an unstructured operator.
 
     ``A``: scipy sparse, structurally-symmetric pattern, windowable
@@ -622,9 +706,26 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
                          "(f32-exact index payloads)")
     W = windowed_from_scipy(A, dtype=dtype, block=1024)
     if W is None:
+        if reorder == "auto":
+            # round 5 (VERDICT r4 item 4): RCM-reorder and retry
+            # instead of raising; the solver wrapper permutes b /
+            # un-permutes x host-side (ReorderedSolver)
+            perm = _rcm_perm(A)
+            Ap = A[perm][:, perm].tocsr()
+            if windowed_from_scipy(Ap, dtype=dtype, block=1024) \
+                    is not None:
+                Bp = None if B is None else np.asarray(B).ravel()[perm]
+                inner = device_unstructured_sa_setup(
+                    Ap, B=Bp, dtype=dtype, theta=theta, omega=omega,
+                    max_coarse=max_coarse, max_levels=max_levels,
+                    presmoother=presmoother, postsmoother=postsmoother,
+                    improve_candidates_iters=improve_candidates_iters,
+                    mixed_precision=mixed_precision, seed=seed,
+                    aggregate=aggregate, reorder=False)
+                return ReorderedSolver(inner, perm)
         raise ValueError(
-            "operator is not windowable under its ordering; reorder "
-            "(graph.symmetric_rcm) or use the host setup path")
+            "operator is not windowable under its ordering (even after "
+            "RCM reordering); use the host setup path")
     spans = _SpanPlan.from_csr(A)
     B_dev = None
     if B is not None:
@@ -727,37 +828,9 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
             dml.setup_info = {"levels": infos}
             return dml
 
-        kc = int(_band_nnz_max(A_band))
-        kc = max(kc, 1)
-        vals, ws = _extract_topk(A_band, kc)             # (kc, nc_pad)
-        # columns = cstart(block) + w
-        cs_rows = jnp.repeat(cstarts.astype(jnp.float32), bc)[:nc_pad]
-        cols = ws + cs_rows[None, :]
-        # next-level windowed geometry from the MEASURED support (two
-        # tiny D2H pulls) — the hull plan overestimates ~4x and window
-        # width multiplies every apply's one-hot cost (round 4)
-        c_block = 1024 if nc >= 4096 else 256
-        nb2 = pad_to(nc, c_block) // c_block
-        blo_d, bhi_d = _col_bounds(vals, cols, gr=c_block)
-        slo_d, shi_d = _col_bounds(vals, cols, gr=bc)
-        blo_h = np.asarray(blo_d)[:nb2]
-        bhi_h = np.asarray(bhi_d)[:nb2]
-        ok_b = np.isfinite(blo_h)
-        g_lo = np.where(ok_b, blo_h, 0).astype(np.int64)
-        g_hi = np.maximum(np.where(ok_b, bhi_h, 0).astype(np.int64) + 1,
-                          g_lo + 1)
-        c_w2, c_starts, c_mch = _pick_geometry(g_lo, g_hi, c_block, nc)
-        c_geom = (c_block, c_w2, tuple(c_starts.tolist()), c_mch)
-        cur = _make_windowed(vals[:, :nc], cols[:, :nc], nc, c_geom,
-                             dtype, nnz=int(kc * nc))
+        cur, spans = _next_from_band(A_band, cstarts, nc, nc_pad, bc,
+                                     dtype)
         cur_n = nc
-        slo_h = np.asarray(slo_d)
-        shi_h = np.asarray(shi_d)
-        ok_s = np.isfinite(slo_h)
-        spans = _SpanPlan(
-            nc, bc,
-            np.where(ok_s, slo_h, nc).astype(np.int64),
-            np.where(ok_s, shi_h + 1, 0).astype(np.int64))
         # coarse candidate = per-aggregate norms (fit_candidates)
         Bv = norms[:nc].astype(jnp.float32)
 

@@ -77,6 +77,20 @@ def _shard_op(mesh, E, axis="x"):
         # (fine-side) row blocks; the transpose apply reduces into the
         # replicated coarse output
         return TransposedWindowed(_shard_op(mesh, E.base, axis))
+    from ..engine.unstructured_classical import (ComposedWindowed,
+                                                 NeumannAIRRestriction)
+    if isinstance(E, ComposedWindowed):
+        # modified-classical P = M · P_direct: shard each factor's row
+        # blocks independently (round 5)
+        return ComposedWindowed(factors=tuple(
+            _shard_op(mesh, f, axis) for f in E.factors))
+    if isinstance(E, NeumannAIRRestriction):
+        vec = NamedSharding(mesh, P(axis))
+        return NeumannAIRRestriction(
+            A=_shard_op(mesh, E.A, axis),
+            Tinj=_shard_op(mesh, E.Tinj, axis),
+            dinv_f=jax.device_put(E.dinv_f, vec),
+            shape=E.shape, nnz=E.nnz, degree=E.degree)
     if isinstance(E, WindowedELL):
         if E.data.shape[0] % ndev != 0:
             return E  # block count not divisible: leave replicated

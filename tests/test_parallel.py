@@ -312,3 +312,90 @@ def test_distributed_block_setup_gspmd():
     rel = np.linalg.norm(np.asarray(x1) - np.asarray(x0)) / max(
         np.linalg.norm(np.asarray(x0)), 1e-300)
     assert rel < 1e-10, rel
+
+
+def test_sharded_windowed_unstructured_solve():
+    """Round 5 (VERDICT r4 item 6): the WINDOWED unstructured family
+    sharded — build the grid-free SA hierarchy on a FEM mesh, row-block
+    shard it (shard_hierarchy's WindowedELL/TransposedWindowed cases),
+    and demand residual-history + solution parity with the unsharded
+    solve.  nx=128 gives 16 finest row blocks (divisible by the 8-device
+    mesh; a non-divisible count silently replicates)."""
+    import scipy.sparse as sp
+
+    from pyamg_tpu.engine import (DeviceMultilevelSolver,
+                                  device_unstructured_sa_setup)
+    from pyamg_tpu.gallery import gradgradform, regular_triangle_mesh
+    from pyamg_tpu.parallel import make_solver_mesh, shard_hierarchy
+    from pyamg_tpu.sparse import WindowedELL
+
+    V, E = regular_triangle_mesh(128, 128)
+    A = sp.csr_matrix(gradgradform(V, E))
+    A = (A + 1e-2 * sp.eye(A.shape[0], format="csr")).tocsr()
+    b = np.random.default_rng(3).random(A.shape[0])
+
+    dw0 = device_unstructured_sa_setup(A, dtype=jnp.float64,
+                                       max_coarse=400)
+    assert isinstance(dw0.hierarchy.levels[0].A, WindowedELL)
+    assert dw0.hierarchy.levels[0].A.data.shape[0] % 8 == 0
+    r0 = []
+    x0 = dw0.solve(b, tol=1e-10, maxiter=30, accel="cg", residuals=r0)
+
+    mesh = make_solver_mesh(8)
+    hier = shard_hierarchy(dw0.hierarchy, mesh)
+    assert any(
+        len(getattr(lvl.A, "data", np.zeros(1)).sharding.device_set) > 1
+        for lvl in hier.levels if hasattr(lvl.A, "data"))
+    dw1 = DeviceMultilevelSolver(hier)
+    n_pad = dw1.hierarchy.levels[0].n_pad
+    bw = jax.device_put(
+        jnp.zeros(n_pad, jnp.float64).at[: A.shape[0]].set(
+            jnp.asarray(b)), NamedSharding(mesh, P("x")))
+    r1 = []
+    x1 = dw1.solve(bw, tol=1e-10, maxiter=30, accel="cg", residuals=r1)
+    assert len(r0) == len(r1), (len(r0), len(r1))
+    np.testing.assert_allclose(r1, r0, rtol=1e-9)
+    rel = np.linalg.norm(np.asarray(x1)[: A.shape[0]]
+                         - np.asarray(x0)[: A.shape[0]]) / max(
+        np.linalg.norm(np.asarray(x0)[: A.shape[0]]), 1e-300)
+    assert rel < 1e-9, rel
+
+
+def test_sharded_unstructured_rs_solve():
+    """Sharded solve parity for the unstructured CLASSICAL family
+    (modified interpolation = ComposedWindowed factors; exercises the
+    round-5 _shard_op cases)."""
+    import scipy.sparse as sp
+
+    from pyamg_tpu.engine import (DeviceMultilevelSolver,
+                                  device_unstructured_rs_setup)
+    from pyamg_tpu.engine.unstructured_classical import ComposedWindowed
+    from pyamg_tpu.gallery import gradgradform, regular_triangle_mesh
+    from pyamg_tpu.parallel import make_solver_mesh, shard_hierarchy
+
+    V, E = regular_triangle_mesh(128, 128)
+    A = sp.csr_matrix(gradgradform(V, E))
+    A = (A + 1e-2 * sp.eye(A.shape[0], format="csr")).tocsr()
+    b = np.random.default_rng(5).random(A.shape[0])
+
+    dw0 = device_unstructured_rs_setup(A, dtype=jnp.float64,
+                                       max_coarse=400)
+    assert isinstance(dw0.hierarchy.levels[0].P, ComposedWindowed)
+    r0 = []
+    x0 = dw0.solve(b, tol=1e-8, maxiter=40, accel="cg", residuals=r0)
+
+    mesh = make_solver_mesh(8)
+    hier = shard_hierarchy(dw0.hierarchy, mesh)
+    dw1 = DeviceMultilevelSolver(hier)
+    n_pad = dw1.hierarchy.levels[0].n_pad
+    bw = jax.device_put(
+        jnp.zeros(n_pad, jnp.float64).at[: A.shape[0]].set(
+            jnp.asarray(b)), NamedSharding(mesh, P("x")))
+    r1 = []
+    x1 = dw1.solve(bw, tol=1e-8, maxiter=40, accel="cg", residuals=r1)
+    assert len(r0) == len(r1), (len(r0), len(r1))
+    np.testing.assert_allclose(r1, r0, rtol=1e-9)
+    rel = np.linalg.norm(np.asarray(x1)[: A.shape[0]]
+                         - np.asarray(x0)[: A.shape[0]]) / max(
+        np.linalg.norm(np.asarray(x0)[: A.shape[0]]), 1e-300)
+    assert rel < 1e-9, rel
