@@ -76,23 +76,14 @@ from .device_setup import (_ns_pinv, _power_rho, _smoother_device_arrays,
 from .hierarchy import DeviceHierarchy, DeviceLevel
 from .setup import _hash_weights
 from .solver import DeviceMultilevelSolver
-from .unstructured_setup import (ReorderedSolver, _SpanPlan, _flat,
-                                 _make_windowed, _next_from_band,
+from .unstructured_setup import (ComposedWindowed, ReorderedSolver,
+                                 _SpanPlan, _flat, _make_windowed,
+                                 _next_from_band, _p_residue_matmat,
                                  _pick_geometry, _plan_windows,
-                                 _probe_rap, _rcm_perm)
+                                 _probe_rap, _rcm_perm, _unflat)
 
 __all__ = ["device_unstructured_rs_setup",
            "device_unstructured_air_setup", "NeumannAIRRestriction"]
-
-
-def _unflat(v_kn, nb, block, n_pad):
-    """(k, n) slot-wise -> (nb, k, BLOCK) block layout (inverse of
-    :func:`unstructured_setup._flat`)."""
-    k = v_kn.shape[0]
-    pad = nb * block - v_kn.shape[1]
-    if pad:
-        v_kn = jnp.pad(v_kn, ((0, 0), (0, pad)))
-    return jnp.moveaxis(v_kn.reshape(k, nb, block), 0, 1)
 
 
 def _slot_fields(W: WindowedELL):
@@ -282,80 +273,6 @@ def _stage_build_p_onepoint(W: WindowedELL, c_f, *, theta, norm, dtype,
     return P, Tinj, dinv.astype(dtype), fmask, cval
 
 
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass(frozen=True)
-class ComposedWindowed:
-    """Product of windowed factors, applied right-to-left: P = F0 · F1
-    (P @ x = F0 @ (F1 @ x)).  The TPU form of the reference's modified
-    classical interpolation ([R] amg_core
-    rs_classical_interpolation_pass2): instead of materializing the
-    distance-two product by SpGEMM (whose unstructured windowed form
-    doesn't exist), keep the factors and compose applies — the banded
-    RAP probe and the solve-phase transfers only ever need matvec/
-    matmat, and duplicate-column summation is the windowed kernels'
-    native behavior."""
-
-    factors: tuple          # (F0, F1, ...) applied right-to-left
-
-    def tree_flatten(self):
-        return (self.factors,), ()
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        (factors,) = children
-        return cls(factors=factors)
-
-    @property
-    def shape(self):
-        return (self.factors[0].shape[0], self.factors[-1].shape[1])
-
-    @property
-    def nnz(self):
-        # structural estimate (complexity reporting): the composed row
-        # support is bounded by the product of factor row supports
-        k = 1
-        for f in self.factors:
-            k *= max(f.nnz // max(f.shape[0], 1), 1)
-        return int(self.shape[0] * k)
-
-    @property
-    def n_pad(self):
-        return self.factors[0].n_pad
-
-    @property
-    def m_chunks(self):
-        return self.factors[-1].m_chunks
-
-    @property
-    def w2(self):
-        return self.factors[-1].w2
-
-    def matvec(self, x):
-        for f in reversed(self.factors):
-            x = f.matvec(x)
-        return x
-
-    def matmat(self, X):
-        for f in reversed(self.factors):
-            X = f.matmat(X)
-        return X
-
-    def rmatvec(self, x):
-        for f in self.factors:
-            x = f.rmatvec(x)
-        return x
-
-    def rmatmat(self, X):
-        for f in self.factors:
-            X = f.rmatmat(X)
-        return X
-
-    def __matmul__(self, x):
-        if x.ndim == 2:
-            return self.matmat(x)
-        return self.matvec(x)
-
-
 @partial(jax.jit, static_argnames=("theta", "norm", "dtype", "p_geom"))
 def _stage_build_m_mod(W: WindowedELL, c_f, *, theta, norm, dtype,
                        p_geom):
@@ -486,18 +403,12 @@ def _probe_rap_r(A_w, P, R, cstarts, *, period, K, nc_pad, bc, dtype):
     restriction (same placement/one-hot scheme as
     ``unstructured_setup._probe_rap``, which hardcodes R = P^T)."""
     n_pad = A_w.n_pad
-    ncol = P.m_chunks * P.w2
     nchunks = -(-period // K)
     nb_c = nc_pad // bc
-    iota_c = jnp.arange(ncol)
     w_iota = jnp.arange(period)
 
     def chain(d0):
-        lane = jnp.arange(K)
-        V = ((iota_c[:, None] % period) == (d0 + lane)[None, :]) \
-            & (iota_c[:, None] < nc_pad)
-        V = V.astype(dtype)
-        Y1 = P.matmat(V)[:n_pad]
+        Y1 = _p_residue_matmat(P, d0, K, period, nc_pad, n_pad)
         Y2 = A_w.matmat(Y1)
         return R.matmat(Y2)[:nc_pad]                     # (nc_pad, K)
 
@@ -656,7 +567,7 @@ def device_unstructured_rs_setup(A, dtype=jnp.float32, theta=0.25,
                 dtype=jnp.dtype(dtype).name, p_geom=p_geom)
 
         cstarts = jnp.asarray(cstarts_host)
-        A_band = _probe_rap(cur, P, cstarts, period=period, K=16,
+        A_band = _probe_rap(cur, P, cstarts, period=period, K=32,
                             nc_pad=nc_pad, bc=bc, dtype=dtype)
         rowi = jnp.arange(nc_pad).reshape(-1, bc)
         A_band = jnp.where((rowi < nc)[:, :, None], A_band, 0.0)
@@ -761,7 +672,7 @@ def device_unstructured_air_setup(A, dtype=jnp.float32, theta=0.25,
             nnz=int(cur.nnz * max(degree, 1)), degree=degree)
 
         cstarts = jnp.asarray(cstarts_host)
-        A_band = _probe_rap_r(cur, P, R, cstarts, period=period, K=16,
+        A_band = _probe_rap_r(cur, P, R, cstarts, period=period, K=32,
                               nc_pad=nc_pad, bc=bc, dtype=dtype)
         rowi = jnp.arange(nc_pad).reshape(-1, bc)
         A_band = jnp.where((rowi < nc)[:, :, None], A_band, 0.0)

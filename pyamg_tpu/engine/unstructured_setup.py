@@ -31,9 +31,13 @@ every stage is rebuilt gather-free on the windowed format:
   recovers EXACT columns — Yall[:, d] = P^T(A(P v_d)) with
   v_d[c] = 1[c = d (mod P_e)] touches, per row, at most one supported
   column per residue, so every probe entry is a true A_c value or an
-  exact zero.  The probes run as K=16 multi-RHS chains through the
-  existing fused matmat/rmatmat kernels (operator reads amortized), and
-  the banded layout is recovered with one per-block one-hot einsum.
+  exact zero.  The probes run as K=32 multi-RHS chains: the FIRST
+  stage (P @ v_d) is pure elementwise work over P's own slots (the
+  residue pattern is static — round 5; no windowed one-hot needed),
+  the rest through the fused matmat/rmatmat kernels (operator reads
+  amortized), and the banded layout is recovered with one per-block
+  one-hot einsum.  Duplicate-column P slots are merged first
+  (_merge_slots) — slot count multiplies every one-hot apply.
   No new SpGEMM kernel, no gathers, MXU-friendly throughout.
 
 Host involvement per level: ONE small D2H pull (the root mask) for the
@@ -48,6 +52,7 @@ select kernel).
 
 from __future__ import annotations
 
+from dataclasses import dataclass as _dataclass
 from functools import partial
 
 import numpy as np
@@ -400,12 +405,20 @@ def geometry_cols(m_chunks, w2):
 
 
 @partial(jax.jit, static_argnames=("theta", "omega", "dtype", "t_geom",
-                                   "p_geom", "improve_iters"))
+                                   "p_geom", "improve_iters", "s_geom"))
 def _stage_build_p(W, root_f, B_in, *, theta, omega, dtype, t_geom,
-                   p_geom, improve_iters=0):
+                   p_geom, improve_iters=0, s_geom=None):
     """Assignment + tentative + smoothed prolongator, one XLA program.
 
-    Returns (T, P, dinv, rho, Bc_padded, cval)."""
+    ``s_geom`` (round 5, aggressive-mode quality): when given (A's own
+    window geometry), additionally build the SECOND smoothing factor
+    S = I - omega D^-1 A as a windowed operator sharing A's pattern —
+    the caller composes P2 = S . P (ComposedWindowed) for a
+    double-smoothed prolongator without any SpGEMM.  The identity rides
+    a DEDICATED extra slot (clamped zero-pad slots can alias the
+    diagonal position; a shared slot would double-count).
+
+    Returns (T, P, dinv, rho, Bc_padded, cval, S_or_None)."""
     n = W.shape[0]
     n_pad = W.n_pad
     diag = W.diagonal()
@@ -450,12 +463,114 @@ def _stage_build_p(W, root_f, B_in, *, theta, omega, dtype, t_geom,
     pcols_all = jnp.concatenate([cval[None, :], pcols], axis=0)
     P = _make_windowed(pvals_all, pcols_all, n, p_geom, dtype,
                        nnz=int((W.nnz + n)))
-    return T, P, dinv.astype(dtype), rho, norms, cval
+    S = None
+    if s_geom is not None:
+        gidx = (W.starts[:, None, None] * W.w2 + W.idx)
+        rows3 = (jnp.arange(W.block)[None, None, :]
+                 + (jnp.arange(W.data.shape[0])
+                    * W.block)[:, None, None])
+        colf = _flat(gidx, n_pad).astype(jnp.float32)
+        rowf = _flat(rows3, n_pad).astype(jnp.float32)
+        ident = jnp.where(valid, 1.0 - om * dinv * diag, 1.0)
+        offv = jnp.where((colf != rowf) & (data != 0),
+                         -(om * dinv)[None, :] * data, 0.0)
+        own_col = jnp.arange(n_pad, dtype=jnp.float32)
+        s_vals = jnp.concatenate([ident[None, :], offv], axis=0)
+        s_cols = jnp.concatenate([own_col[None, :], colf], axis=0)
+        S = _make_windowed(s_vals, s_cols, n, s_geom, dtype,
+                           nnz=int(W.nnz + n))
+    return T, P, dinv.astype(dtype), rho, norms, cval, S
 
 
 # ---------------------------------------------------------------------------
 # RAP by banded chain probing
 # ---------------------------------------------------------------------------
+
+@jax.jit
+def _max_distinct(P: WindowedELL):
+    """Max over rows of the number of DISTINCT live columns (device
+    scalar; one tiny pull decides whether slot-merging pays)."""
+    n_pad = P.n_pad
+    vals = _flat(P.data, n_pad)
+    cols = _flat((P.starts[:, None, None] * P.w2 + P.idx), n_pad)
+    live = vals != 0
+    k = vals.shape[0]
+    same = (cols[None, :, :] == cols[:, None, :]) \
+        & live[None, :, :] & live[:, None, :]
+    earlier = jnp.arange(k)[None, :, None] < jnp.arange(k)[:, None, None]
+    first = live & ~jnp.any(same & earlier, axis=1)
+    return jnp.max(jnp.sum(first.astype(jnp.int32), axis=0))
+
+
+@partial(jax.jit, static_argnames=("k_new", "geometry", "dtype"))
+def _merge_slots(P: WindowedELL, *, k_new, geometry, dtype):
+    """Merge duplicate-column slots and compact to ``k_new`` slots.
+
+    The smoothed prolongator materializes one slot per A-entry, but
+    neighbors in the same aggregate share a coarse column — at a 640k
+    FEM level 1 that is 26 slots holding ~8 distinct columns, and slot
+    count multiplies the cost of EVERY windowed apply (probe chains and
+    solve-phase transfers alike).  Merge = k x k same-column pass
+    (elementwise), compact = k_new rounds of top-|value| one-hot
+    extraction; with k_new = the measured max distinct count nothing is
+    dropped, so the merged operator is exactly equal (up to f32
+    summation order of duplicate slots, which the apply kernels were
+    summing anyway)."""
+    n = P.shape[0]
+    n_pad = P.n_pad
+    vals = _flat(P.data, n_pad)
+    cols = _flat((P.starts[:, None, None] * P.w2 + P.idx), n_pad)
+    live = vals != 0
+    k = vals.shape[0]
+    same = (cols[None, :, :] == cols[:, None, :]) \
+        & live[None, :, :] & live[:, None, :]
+    earlier = jnp.arange(k)[None, :, None] < jnp.arange(k)[:, None, None]
+    first = live & ~jnp.any(same & earlier, axis=1)
+    merged = jnp.sum(jnp.where(same, vals[None, :, :], 0), axis=1)
+    mvals = jnp.where(first, merged, 0.0)
+    out_v = []
+    out_c = []
+    cur = mvals
+    ki = jnp.arange(k)[:, None]
+    for _ in range(k_new):
+        a = jnp.abs(cur)
+        m = jnp.max(a, axis=0)
+        hit = (ki == jnp.argmax(a == m[None, :], axis=0)[None, :]) \
+            & (a > 0)
+        out_v.append(jnp.sum(jnp.where(hit, cur, 0.0), axis=0))
+        out_c.append(jnp.sum(jnp.where(hit, cols, 0), axis=0))
+        cur = jnp.where(hit, 0.0, cur)
+    return _make_windowed(jnp.stack(out_v),
+                          jnp.stack(out_c).astype(jnp.float32), n,
+                          geometry, dtype, nnz=int(n * k_new))
+
+
+def _p_residue_matmat(P, d0, K, period, nc_pad, n_pad):
+    """P @ V_d for residue one-hot probes WITHOUT the windowed kernel.
+
+    V_d's columns are c ≡ d (mod period), c < nc_pad — so P @ V_d is a
+    pure elementwise reduction over P's own slots:
+    Y[i, lane] = Σ_slots pval · 1[pcol ≡ d0+lane (mod period)].
+    Round 5: the probe chains previously paid the full one-hot window
+    tax (H MXU chunks per entry) to multiply P by vectors whose pattern
+    is KNOWN statically; this cuts the first chain stage from
+    O(k·H·K) to O(k·K) elementwise work (measured 640k standard
+    setup: the probe stages are 90% of warm setup wall)."""
+    if isinstance(P, ComposedWindowed):
+        Y = _p_residue_matmat(P.factors[-1], d0, K, period, nc_pad,
+                              P.factors[-1].n_pad)
+        for f in reversed(P.factors[:-1]):
+            Y = f.matmat(Y)
+        return Y[:n_pad]
+    lane = d0 + jnp.arange(K)
+    pcol = (P.starts[:, None, None] * P.w2 + P.idx)       # (nb,k,B)
+    hit = ((pcol[..., None] % np.int32(period))
+           == lane[None, None, None, :])
+    hit = hit & (pcol[..., None] < nc_pad)
+    hit = hit & (P.data[..., None] != 0)
+    Y = jnp.sum(jnp.where(hit, P.data[..., None], 0), axis=1)
+    return Y.reshape(-1, K)[:n_pad]                       # (n_pad, K)
+
 
 @partial(jax.jit, static_argnames=("period", "K", "nc_pad", "bc",
                                    "dtype"))
@@ -471,18 +586,12 @@ def _probe_rap(A_w, P, cstarts, *, period, K, nc_pad, bc, dtype):
     A_band (nc_pad x period) is ever resident, never a second
     (nc_pad x period) residue matrix plus its doubled copy."""
     n_pad = A_w.n_pad
-    ncol = P.m_chunks * P.w2
     nchunks = -(-period // K)
     nb_c = nc_pad // bc
-    iota_c = jnp.arange(ncol)
     w_iota = jnp.arange(period)
 
     def chain(d0):
-        lane = jnp.arange(K)
-        V = ((iota_c[:, None] % period) == (d0 + lane)[None, :]) \
-            & (iota_c[:, None] < nc_pad)
-        V = V.astype(dtype)
-        Y1 = P.matmat(V)[:n_pad]
+        Y1 = _p_residue_matmat(P, d0, K, period, nc_pad, n_pad)
         Y2 = A_w.matmat(Y1)
         Y3 = P.rmatmat(Y2[: P.n_pad] if P.n_pad <= n_pad
                        else jnp.pad(Y2, ((0, P.n_pad - n_pad), (0, 0))))
@@ -623,6 +732,90 @@ class ReorderedSolver:
         return np.asarray(out)[self._iperm]
 
 
+def _unflat(v_kn, nb, block, n_pad):
+    """(k, n) slot-wise -> (nb, k, BLOCK) block layout (inverse of
+    :func:`unstructured_setup._flat`)."""
+    k = v_kn.shape[0]
+    pad = nb * block - v_kn.shape[1]
+    if pad:
+        v_kn = jnp.pad(v_kn, ((0, 0), (0, pad)))
+    return jnp.moveaxis(v_kn.reshape(k, nb, block), 0, 1)
+
+
+@jax.tree_util.register_pytree_node_class
+@_dataclass(frozen=True)
+class ComposedWindowed:
+    """Product of windowed factors, applied right-to-left: P = F0 · F1
+    (P @ x = F0 @ (F1 @ x)).  The TPU form of the reference's modified
+    classical interpolation ([R] amg_core
+    rs_classical_interpolation_pass2): instead of materializing the
+    distance-two product by SpGEMM (whose unstructured windowed form
+    doesn't exist), keep the factors and compose applies — the banded
+    RAP probe and the solve-phase transfers only ever need matvec/
+    matmat, and duplicate-column summation is the windowed kernels'
+    native behavior."""
+
+    factors: tuple          # (F0, F1, ...) applied right-to-left
+
+    def tree_flatten(self):
+        return (self.factors,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (factors,) = children
+        return cls(factors=factors)
+
+    @property
+    def shape(self):
+        return (self.factors[0].shape[0], self.factors[-1].shape[1])
+
+    @property
+    def nnz(self):
+        # structural estimate (complexity reporting): the composed row
+        # support is bounded by the product of factor row supports
+        k = 1
+        for f in self.factors:
+            k *= max(f.nnz // max(f.shape[0], 1), 1)
+        return int(self.shape[0] * k)
+
+    @property
+    def n_pad(self):
+        return self.factors[0].n_pad
+
+    @property
+    def m_chunks(self):
+        return self.factors[-1].m_chunks
+
+    @property
+    def w2(self):
+        return self.factors[-1].w2
+
+    def matvec(self, x):
+        for f in reversed(self.factors):
+            x = f.matvec(x)
+        return x
+
+    def matmat(self, X):
+        for f in reversed(self.factors):
+            X = f.matmat(X)
+        return X
+
+    def rmatvec(self, x):
+        for f in self.factors:
+            x = f.rmatvec(x)
+        return x
+
+    def rmatmat(self, X):
+        for f in self.factors:
+            X = f.rmatmat(X)
+        return X
+
+    def __matmul__(self, x):
+        if x.ndim == 2:
+            return self.matmat(x)
+        return self.matvec(x)
+
+
 def _next_from_band(A_band, cstarts, nc, nc_pad, bc, dtype):
     """Banded coarse operator -> next-level WindowedELL + its span plan.
 
@@ -636,17 +829,27 @@ def _next_from_band(A_band, cstarts, nc, nc_pad, bc, dtype):
     # columns = cstart(block) + w
     cs_rows = jnp.repeat(cstarts.astype(jnp.float32), bc)[:nc_pad]
     cols = ws + cs_rows[None, :]
-    c_block = 1024 if nc >= 4096 else 256
-    nb2 = pad_to(nc, c_block) // c_block
-    blo_d, bhi_d = _col_bounds(vals, cols, gr=c_block)
+    # block size by the measured kernel cost model (round 5; constants
+    # from windowed_from_scipy's round-3 refit): smaller blocks can
+    # SHRINK the measured window (w2 halves -> every apply's one-hot H
+    # halves) at more grid steps — at a 640k FEM L1 the 256-row block
+    # more than pays for itself
+    best = None
+    for c_block in ((1024, 512, 256) if nc >= 4096 else (256,)):
+        nb2 = pad_to(nc, c_block) // c_block
+        blo_d, bhi_d = _col_bounds(vals, cols, gr=c_block)
+        blo_h = np.asarray(blo_d)[:nb2]
+        bhi_h = np.asarray(bhi_d)[:nb2]
+        ok_b = np.isfinite(blo_h)
+        g_lo = np.where(ok_b, blo_h, 0).astype(np.int64)
+        g_hi = np.maximum(np.where(ok_b, bhi_h, 0).astype(np.int64)
+                          + 1, g_lo + 1)
+        c_w2, c_starts, c_mch = _pick_geometry(g_lo, g_hi, c_block, nc)
+        cost = nb2 * 0.15e-6 + kc * nc * (2 * c_w2 / 128) * 8e-12
+        if best is None or cost < best[0]:
+            best = (cost, c_block, c_w2, c_starts, c_mch)
+    _, c_block, c_w2, c_starts, c_mch = best
     slo_d, shi_d = _col_bounds(vals, cols, gr=bc)
-    blo_h = np.asarray(blo_d)[:nb2]
-    bhi_h = np.asarray(bhi_d)[:nb2]
-    ok_b = np.isfinite(blo_h)
-    g_lo = np.where(ok_b, blo_h, 0).astype(np.int64)
-    g_hi = np.maximum(np.where(ok_b, bhi_h, 0).astype(np.int64) + 1,
-                      g_lo + 1)
-    c_w2, c_starts, c_mch = _pick_geometry(g_lo, g_hi, c_block, nc)
     c_geom = (c_block, c_w2, tuple(c_starts.tolist()), c_mch)
     cur = _make_windowed(vals[:, :nc], cols[:, :nc], nc, c_geom,
                          dtype, nnz=int(kc * nc))
@@ -673,7 +876,8 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
                                                {"omega": 4.0 / 3.0}),
                                  improve_candidates_iters=0,
                                  mixed_precision=False, seed=0,
-                                 aggregate="standard", reorder="auto"):
+                                 aggregate="standard", reorder="auto",
+                                 smooth_passes=None, profile=None):
     """Build an SA hierarchy ON DEVICE for an unstructured operator.
 
     ``A``: scipy sparse, structurally-symmetric pattern, windowable
@@ -691,6 +895,15 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
     """
     if aggregate not in ("standard", "aggressive"):
         raise ValueError(f"unknown aggregate mode {aggregate!r}")
+    # smooth_passes (round 5): second prolongation-smoothing pass as a
+    # composed factor S = I - w D^-1 A (no SpGEMM; solve transfers cost
+    # one extra A-shaped apply).  Default 2 for aggressive mode — the
+    # radius-2 aggregates need the wider interpolation support (measured
+    # 640k: 14 -> ~standard-parity iters); 1 for standard.
+    if smooth_passes is None:
+        smooth_passes = 2 if aggregate == "aggressive" else 1
+    if smooth_passes not in (1, 2):
+        raise ValueError("smooth_passes must be 1 or 2")
     if mixed_precision:
         raise NotImplementedError(
             "mixed-precision (f64 outer Krylov) needs an f64 finest "
@@ -721,7 +934,8 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
                     presmoother=presmoother, postsmoother=postsmoother,
                     improve_candidates_iters=improve_candidates_iters,
                     mixed_precision=mixed_precision, seed=seed,
-                    aggregate=aggregate, reorder=False)
+                    aggregate=aggregate, smooth_passes=smooth_passes,
+                    reorder=False)
                 return ReorderedSolver(inner, perm)
         raise ValueError(
             "operator is not windowable under its ordering (even after "
@@ -733,6 +947,21 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
 
     pre_key = _spec_key(presmoother)
     post_key = _spec_key(postsmoother)
+
+    import time as _time
+
+    def _mark(label, lev, t0, sync=None):
+        # opt-in stage profiling (pass profile={}): syncs via a scalar
+        # D2H pull (block_until_ready returns early on axon) and
+        # records wall seconds under profile[f"L{lev}.{label}"]
+        if profile is None:
+            return _time.perf_counter()
+        if sync is not None:
+            float(jnp.sum(jnp.ravel(sync)[:8]))
+        t1 = _time.perf_counter()
+        profile[f"L{lev}.{label}"] = round(t1 - t0, 3)
+        return t1
+
     levels = []
     infos = []
     cur = W
@@ -741,10 +970,12 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
     for lev in range(max_levels - 1):
         if cur_n <= max_coarse:
             break
+        _t = _time.perf_counter()
         # ---- stage A: roots on device; ONE small host pull ------------
         root_f = _stage_roots(cur, theta=float(theta), seed=seed + lev,
                               densify=(aggregate == "standard"))
         root_host = np.asarray(root_f) > 0.5
+        _t = _mark("roots", lev, _t)
         nc = int(root_host.sum())
         if nc == 0 or nc >= cur_n:
             break
@@ -759,7 +990,9 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
         # T columns: roots within distance<=2 of block rows
         lo2, hi2 = spans.hull(blo, bhi, 2)
         tlo, thi = _plan_windows(cum, lo2, hi2)
-        # P columns: distance<=3
+        # P1 columns: distance<=3 (tentative 2 + one smoothing hop);
+        # the second smoothing pass is a separate composed factor with
+        # A's own geometry, so p_geom stays at reach 3
         lo3, hi3 = spans.hull(blo, bhi, 3)
         plo, phi = _plan_windows(cum, lo3, hi3)
         t_w2, t_starts, t_mch = _pick_geometry(tlo, thi, cur.block, nc)
@@ -767,7 +1000,8 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
         t_geom = (cur.block, t_w2, tuple(t_starts.tolist()), t_mch)
         p_geom = (cur.block, p_w2, tuple(p_starts.tolist()), p_mch)
 
-        # coarse block structure + A_c windows (roots within dist<=7)
+        # coarse block structure + A_c windows: P reach = 2 + passes,
+        # A_c = P^T A P reach = 2*(2 + passes) + 1 (7 single-smoothed)
         bc = 256
         nc_pad = pad_to(nc, bc)
         roots_pos = np.flatnonzero(root_host[:cur_n])
@@ -775,27 +1009,48 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
         cb_hi_fine = roots_pos[np.minimum(np.arange(0, nc, bc) + bc - 1,
                                           nc - 1)] + 1
         clo7, chi7 = spans.hull(cb_lo_fine.astype(np.int64),
-                                cb_hi_fine.astype(np.int64), 7)
+                                cb_hi_fine.astype(np.int64),
+                                2 * (2 + smooth_passes) + 1)
         ac_lo, ac_hi = _plan_windows(cum, clo7, chi7)
         period = int((ac_hi - ac_lo).max())
         period = max(pad_to(period, 16), 32)
         cstarts_host = ac_lo.astype(np.int32)
 
+        _t = _mark("plan", lev, _t)
         # ---- stage B: T/P/smoother arrays on device --------------------
         Bt = None if Bv is None else Bv[:cur.n_pad] if Bv.shape[0] \
             >= cur.n_pad else jnp.pad(Bv, (0, cur.n_pad - Bv.shape[0]))
-        T, P, dinv, rho, norms, cval = _stage_build_p(
+        s_geom = None
+        if smooth_passes == 2:
+            s_geom = (cur.block, cur.w2,
+                      tuple(np.asarray(cur.starts).tolist()),
+                      cur.m_chunks)
+        T, P, dinv, rho, norms, cval, S2 = _stage_build_p(
             cur, root_f, Bt, theta=float(theta), omega=float(omega),
             dtype=jnp.dtype(dtype).name, t_geom=t_geom,
-            p_geom=p_geom, improve_iters=int(improve_candidates_iters))
+            p_geom=p_geom, improve_iters=int(improve_candidates_iters),
+            s_geom=s_geom)
+        # merge duplicate-column P slots (same-aggregate neighbors):
+        # slot count multiplies every windowed apply — measured 640k L1
+        # holds ~8 distinct columns in 26 slots (docstring of
+        # _merge_slots); the tiny scalar pull decides if it pays
+        if P.k > 3:
+            kd = int(_max_distinct(P))
+            if kd < P.k - 1:
+                P = _merge_slots(P, k_new=kd, geometry=p_geom,
+                                 dtype=jnp.dtype(dtype).name)
+        if S2 is not None:
+            P = ComposedWindowed(factors=(S2, P))
+        _t = _mark("build_p", lev, _t, sync=dinv)
 
         # ---- RAP probing ----------------------------------------------
         cstarts = jnp.asarray(cstarts_host)
-        A_band = _probe_rap(cur, P, cstarts, period=period, K=16,
+        A_band = _probe_rap(cur, P, cstarts, period=period, K=32,
                             nc_pad=nc_pad, bc=bc, dtype=dtype)
         # drop structurally-padded coarse rows (beyond nc)
         rowi = jnp.arange(nc_pad).reshape(-1, bc)
         A_band = jnp.where((rowi < nc)[:, :, None], A_band, 0.0)
+        _t = _mark("probe_rap", lev, _t, sync=A_band)
 
         # ---- smoothers + level assembly --------------------------------
         pre_arr = _smoother_device_arrays(pre_key, cur, dinv, rho, dtype)
@@ -830,6 +1085,7 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
 
         cur, spans = _next_from_band(A_band, cstarts, nc, nc_pad, bc,
                                      dtype)
+        _t = _mark("extract", lev, _t, sync=cur.data)
         cur_n = nc
         # coarse candidate = per-aggregate norms (fit_candidates)
         Bv = norms[:nc].astype(jnp.float32)
