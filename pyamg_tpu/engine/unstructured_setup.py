@@ -895,13 +895,15 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
     """
     if aggregate not in ("standard", "aggressive"):
         raise ValueError(f"unknown aggregate mode {aggregate!r}")
-    # smooth_passes (round 5): second prolongation-smoothing pass as a
-    # composed factor S = I - w D^-1 A (no SpGEMM; solve transfers cost
-    # one extra A-shaped apply).  Default 2 for aggressive mode — the
-    # radius-2 aggregates need the wider interpolation support (measured
-    # 640k: 14 -> ~standard-parity iters); 1 for standard.
+    # smooth_passes (round 5): optional second prolongation-smoothing
+    # pass as a composed factor S = I - w D^-1 A (no SpGEMM).  Measured
+    # at 640k aggressive: 14 -> 12 iters, but warm setup 3.5 -> 8.4 s
+    # and V-cycle 4.2 -> 8.0 ms (the composed P doubles every transfer
+    # apply) — it LOSES end-to-end, so the default stays 1 everywhere;
+    # pass smooth_passes=2 when iteration count is the binding
+    # constraint (e.g. very expensive residual evaluations).
     if smooth_passes is None:
-        smooth_passes = 2 if aggregate == "aggressive" else 1
+        smooth_passes = 1
     if smooth_passes not in (1, 2):
         raise ValueError("smooth_passes must be 1 or 2")
     if mixed_precision:

@@ -26,7 +26,9 @@ from pyamg_tpu.gallery import gradgradform, regular_triangle_mesh
 out = {"backend": jax.default_backend()}
 NX = int(sys.argv[1]) if len(sys.argv) > 1 else 800
 MODE = sys.argv[2] if len(sys.argv) > 2 else "standard"
+PASSES = int(sys.argv[3]) if len(sys.argv) > 3 else None
 out["aggregate"] = MODE
+out["smooth_passes"] = PASSES
 
 t0 = time.time()
 V, E = regular_triangle_mesh(NX, NX)
@@ -46,7 +48,7 @@ from pyamg_tpu.engine.unstructured_setup import device_unstructured_sa_setup
 # ---- device setup: cold (incl. compile through the relay) ------------
 t0 = time.time()
 dsa = device_unstructured_sa_setup(A, max_coarse=1000,
-                                   aggregate=MODE)
+                                   aggregate=MODE, smooth_passes=PASSES)
 # force completion of all async device work
 float(dsa.hierarchy.coarse_inv[0, 0])
 out["t_device_setup_cold_s"] = round(time.time() - t0, 2)
@@ -56,7 +58,7 @@ out["setup_info"] = dsa.setup_info
 # warm: same geometry -> all jits cached
 t0 = time.time()
 dsa2 = device_unstructured_sa_setup(A, max_coarse=1000,
-                                    aggregate=MODE)
+                                    aggregate=MODE, smooth_passes=PASSES)
 float(dsa2.hierarchy.coarse_inv[0, 0])
 out["t_device_setup_warm_s"] = round(time.time() - t0, 2)
 
@@ -85,6 +87,12 @@ t_cyc = _chained_time(jax, jnp, lambda o, v: oc(o, jnp.zeros_like(v), v),
 rtt = _measure_rtt(jax, jnp)
 out["rtt_ms"] = round(rtt * 1e3, 2)
 out["vcycle_ms"] = round(t_cyc * 1e3, 3)
+
+if len(sys.argv) > 4 and sys.argv[4] == "nohost":
+    with open("/tmp/unstr_tpu.json", "w") as f:
+        json.dump(out, f, indent=1, default=float)
+    print(json.dumps(out, default=float))
+    sys.exit(0)
 
 # ---- host setup (reference-semantics path) -----------------------------
 from pyamg_tpu.aggregation import smoothed_aggregation_solver

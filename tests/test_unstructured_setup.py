@@ -238,9 +238,26 @@ def test_aggressive_aggregation_mode():
                   maxiter=80, accel="cg", residuals=res_a)
     res_s = [r for r in np.asarray(res_s) if not np.isnan(r)]
     res_a = [r for r in np.asarray(res_a) if not np.isnan(r)]
-    # converged, within a bounded premium over standard
+    # converged, within a bounded premium over standard (round 5:
+    # slot-merged transfers + measured trade-offs tightened this from
+    # +12; the DEFAULT 1-pass mode is the end-to-end winner at 640k —
+    # setup 3.5 s, V-cycle 4.2 ms — at a +7 iteration premium)
     assert res_a[-1] / res_a[0] < 1e-5
-    assert len(res_a) - 1 <= (len(res_s) - 1) + 12, (len(res_a),
+    assert len(res_a) - 1 <= (len(res_s) - 1) + 7, (len(res_a),
+                                                    len(res_s))
+
+    # the smooth_passes=2 quality option (composed second smoothing
+    # factor) must close the premium to <= +5 — it trades setup time
+    # and V-cycle cost (measured 640k: 8.4 s / 8.0 ms) for iterations
+    agg2 = device_unstructured_sa_setup(A, max_coarse=50,
+                                        aggregate="aggressive",
+                                        smooth_passes=2)
+    res_a2 = []
+    agg2.solve(jnp.asarray(b, dtype=jnp.float32), tol=1e-6, maxiter=80,
+               accel="cg", residuals=res_a2)
+    res_a2 = [r for r in np.asarray(res_a2) if not np.isnan(r)]
+    assert res_a2[-1] / res_a2[0] < 1e-5
+    assert len(res_a2) - 1 <= (len(res_s) - 1) + 5, (len(res_a2),
                                                      len(res_s))
     r = np.linalg.norm(b - A @ np.asarray(x[:n], dtype=np.float64))
     assert r / np.linalg.norm(b) < 1e-4
