@@ -97,7 +97,7 @@ def _chained_time(jax, jnp, step, op, v0, k=128, repeats=3):
     return float(np.median(ts)) / k
 
 
-def _solve_fields(t, res, tol=1e-8, prefix=""):
+def _solve_fields(t, res, tol=1e-8, prefix="", rtt=0.0):
     """Convergence-honest solve reporting (round 5, VERDICT item 1b).
 
     The ``*time_to_1e8_s`` key exists ONLY when the final relative
@@ -115,6 +115,15 @@ def _solve_fields(t, res, tol=1e-8, prefix=""):
     else:
         out[prefix + "time_unconverged_s"] = round(t, 3)
         out[prefix + "iters_run"] = len(res) - 1
+    if rtt:
+        # a device-resident solve is ONE dispatch (the whole Krylov
+        # loop is one program; the history pull is the sync), so wall
+        # minus one RTT is the chip time — cross-session comparisons
+        # must use this (VERDICT r4 item 9: config4's 0.069->0.101 s
+        # "drift" was mostly session RTT)
+        out[prefix + ("time_to_1e8_net_s" if ok
+                      else "time_unconverged_net_s")] = round(
+            max(t - rtt, 0.0), 3)
     return out
 
 
@@ -619,7 +628,7 @@ def main(grid=(2048, 2048), verbose=False):
     t1e8, res8, _ = _timed_device_solve(dml_mixed, bb, tol=1e-8,
                                         maxiter=100, accel="cg",
                                         precision="mixed")
-    detail["config1"].update(_solve_fields(t1e8, res8))
+    detail["config1"].update(_solve_fields(t1e8, res8, rtt=rtt))
 
     # config4 block DEVICE-setup mixed solve (the on-device-built
     # hierarchy solving to true 1e-8; cf. setup_device_s above)
@@ -634,7 +643,7 @@ def main(grid=(2048, 2048), verbose=False):
             dsa_m, b_h[: A.shape[0]], tol=1e-8, maxiter=100,
             accel="cg", precision="mixed")
         detail["config1"].update(
-            _solve_fields(t1m, res1m, prefix="device_setup_"))
+            _solve_fields(t1m, res1m, prefix="device_setup_", rtt=rtt))
     except Exception as e:   # must never break the driver contract
         detail["config1"]["device_setup_mixed_error"] = (
             f"{type(e).__name__}: {e}"[:200])
@@ -653,7 +662,7 @@ def main(grid=(2048, 2048), verbose=False):
                                             accel="cg",
                                             precision="mixed")
         detail["config2"].update(
-            _solve_fields(t2m, res2m, prefix="device_setup_"))
+            _solve_fields(t2m, res2m, prefix="device_setup_", rtt=rtt))
     except Exception as e:
         detail["config2"]["device_setup_mixed_error"] = (
             f"{type(e).__name__}: {e}"[:200])
@@ -666,7 +675,7 @@ def main(grid=(2048, 2048), verbose=False):
                                             maxiter=150, accel="fgmres",
                                             precision="mixed")
         detail["config5"].update(
-            _solve_fields(t5m, res5m, prefix="device_setup_"))
+            _solve_fields(t5m, res5m, prefix="device_setup_", rtt=rtt))
     except Exception as e:
         detail["config5"]["device_setup_mixed_error"] = (
             f"{type(e).__name__}: {e}"[:200])
@@ -677,7 +686,7 @@ def main(grid=(2048, 2048), verbose=False):
     t4m, res4m, _ = _timed_device_solve(dsb_m, b4, tol=1e-8, maxiter=100,
                                         accel="cg", precision="mixed")
     detail["config4"].update(
-        _solve_fields(t4m, res4m, prefix="device_setup_"))
+        _solve_fields(t4m, res4m, prefix="device_setup_", rtt=rtt))
 
     for name, mlx, bx, kw in _mixed:
         note(f"phase B: {name} mixed solve...")
@@ -687,7 +696,8 @@ def main(grid=(2048, 2048), verbose=False):
                               mixed_precision=True, coarse_cutoff=1024))
         tX, resX, _ = _timed_device_solve(dmx, bx, precision="mixed",
                                           **kw)
-        detail[name].update(_solve_fields(tX, resX, tol=kw["tol"]))
+        detail[name].update(_solve_fields(tX, resX, tol=kw["tol"],
+                                  rtt=rtt))
         detail[name]["conv_factor"] = round(_factor(resX) or 0, 4)
 
     detail["dispatch_rtt_ms"] = round(rtt * 1e3, 3)
