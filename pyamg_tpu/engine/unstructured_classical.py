@@ -76,6 +76,7 @@ from .device_setup import (_ns_pinv, _power_rho, _smoother_device_arrays,
 from .hierarchy import DeviceHierarchy, DeviceLevel
 from .setup import _hash_weights
 from .solver import DeviceMultilevelSolver
+from . import unstructured_setup as _us
 from .unstructured_setup import (ComposedWindowed, ReorderedSolver,
                                  _SpanPlan, _flat, _make_windowed,
                                  _next_from_band, _p_residue_matmat,
@@ -567,7 +568,8 @@ def device_unstructured_rs_setup(A, dtype=jnp.float32, theta=0.25,
                 dtype=jnp.dtype(dtype).name, p_geom=p_geom)
 
         cstarts = jnp.asarray(cstarts_host)
-        A_band = _probe_rap(cur, P, cstarts, period=period, K=32,
+        A_band = _probe_rap(cur, P, cstarts, period=period,
+                            K=_us._PROBE_K,
                             nc_pad=nc_pad, bc=bc, dtype=dtype)
         rowi = jnp.arange(nc_pad).reshape(-1, bc)
         A_band = jnp.where((rowi < nc)[:, :, None], A_band, 0.0)
@@ -672,7 +674,8 @@ def device_unstructured_air_setup(A, dtype=jnp.float32, theta=0.25,
             nnz=int(cur.nnz * max(degree, 1)), degree=degree)
 
         cstarts = jnp.asarray(cstarts_host)
-        A_band = _probe_rap_r(cur, P, R, cstarts, period=period, K=32,
+        A_band = _probe_rap_r(cur, P, R, cstarts, period=period,
+                              K=_us._PROBE_K,
                               nc_pad=nc_pad, bc=bc, dtype=dtype)
         rowi = jnp.arange(nc_pad).reshape(-1, bc)
         A_band = jnp.where((rowi < nc)[:, :, None], A_band, 0.0)

@@ -76,6 +76,9 @@ from .solver import DeviceMultilevelSolver
 __all__ = ["device_unstructured_sa_setup"]
 
 _LANES = 128
+# RAP probe chunk width: K=32 measured best at 640k (K=16 paid ~30%
+# per-chunk fixed costs; K=64 A/B'able via this knob)
+_PROBE_K = 32
 
 
 # ---------------------------------------------------------------------------
@@ -1047,7 +1050,8 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
 
         # ---- RAP probing ----------------------------------------------
         cstarts = jnp.asarray(cstarts_host)
-        A_band = _probe_rap(cur, P, cstarts, period=period, K=32,
+        A_band = _probe_rap(cur, P, cstarts, period=period,
+                            K=_PROBE_K,
                             nc_pad=nc_pad, bc=bc, dtype=dtype)
         # drop structurally-padded coarse rows (beyond nc)
         rowi = jnp.arange(nc_pad).reshape(-1, bc)
