@@ -574,9 +574,10 @@ def device_unstructured_rs_setup(A, dtype=jnp.float32, theta=0.25,
         rowi = jnp.arange(nc_pad).reshape(-1, bc)
         A_band = jnp.where((rowi < nc)[:, :, None], A_band, 0.0)
 
-        pre_arr = _smoother_device_arrays(pre_key, cur, dinv, rho, dtype)
-        post_arr = _smoother_device_arrays(post_key, cur, dinv, rho,
-                                           dtype)
+        pre_arr = _us._smoother_arrays_jit(pre_key, cur, dinv, rho,
+                                           dtype=jnp.dtype(dtype).name)
+        post_arr = _us._smoother_arrays_jit(post_key, cur, dinv, rho,
+                                            dtype=jnp.dtype(dtype).name)
         R = TransposedWindowed(P)
         levels.append(DeviceLevel(
             A=cur, P=P, R=R,

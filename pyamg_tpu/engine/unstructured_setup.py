@@ -76,9 +76,10 @@ from .solver import DeviceMultilevelSolver
 __all__ = ["device_unstructured_sa_setup"]
 
 _LANES = 128
-# RAP probe chunk width: K=32 measured best at 640k (K=16 paid ~30%
-# per-chunk fixed costs; K=64 A/B'able via this knob)
-_PROBE_K = 32
+# RAP probe chunk width (640k standard warm setup: K=16 -> 28.3 s,
+# K=32 -> 15.1, K=64 -> 12.9; per-chunk fixed costs amortize, the
+# per-lane MXU work is constant)
+_PROBE_K = 64
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +547,19 @@ def _merge_slots(P: WindowedELL, *, k_new, geometry, dtype):
     return _make_windowed(jnp.stack(out_v),
                           jnp.stack(out_c).astype(jnp.float32), n,
                           geometry, dtype, nnz=int(n * k_new))
+
+
+@partial(jax.jit, static_argnames=("key", "dtype"))
+def _smoother_arrays_jit(key, A_w, dinv, rho, *, dtype):
+    """Jitted smoother-array construction for the unstructured drivers.
+
+    The structured pipelines build smoother arrays INSIDE their one
+    setup program; the unstructured drivers called
+    _smoother_device_arrays eagerly — harmless for jacobi (no compute)
+    but the chebyshev branch runs a 40-step power iteration whose
+    eager dispatch through the relay cost ~11 s of the measured 15 s
+    aggressive+chebyshev setup at 640k (round 5)."""
+    return _smoother_device_arrays(key, A_w, dinv, rho, dtype)
 
 
 def _p_residue_matmat(P, d0, K, period, nc_pad, n_pad):
@@ -1059,9 +1073,10 @@ def device_unstructured_sa_setup(A, B=None, dtype=jnp.float32, theta=0.0,
         _t = _mark("probe_rap", lev, _t, sync=A_band)
 
         # ---- smoothers + level assembly --------------------------------
-        pre_arr = _smoother_device_arrays(pre_key, cur, dinv, rho, dtype)
-        post_arr = _smoother_device_arrays(post_key, cur, dinv, rho,
-                                           dtype)
+        pre_arr = _smoother_arrays_jit(pre_key, cur, dinv, rho,
+                                       dtype=jnp.dtype(dtype).name)
+        post_arr = _smoother_arrays_jit(post_key, cur, dinv, rho,
+                                        dtype=jnp.dtype(dtype).name)
         R = TransposedWindowed(P)
         levels.append(DeviceLevel(
             A=cur, P=P, R=R,
