@@ -349,6 +349,22 @@ def main(grid=(2048, 2048), verbose=False):
                 t_cycle_al * K / t_cycle_K, 2),
             "work_gnnz_s": round(cycle_nnz * K / t_cycle_K / 1e9, 4),
         }
+        # INTERLEAVED (S, K, 128) fast path (round 5,
+        # engine/batched_cycle.py): finest level on contiguous
+        # lane-chunk tiles, measured at the copy ceiling
+        from pyamg_tpu.engine.batched_cycle import (
+            interleaved_zero_vcycle, supports_interleaved)
+        from pyamg_tpu.sparse.interleaved import to_interleaved
+        if supports_interleaved(h_al):
+            BiK = to_interleaved(bK)
+            t_int = net(_chained_time(jax, jnp, interleaved_zero_vcycle,
+                                      h_al, BiK, k=32), 32)
+            batched["t_vcycle_per_rhs_interleaved_ms"] = round(
+                t_int / K * 1e3, 3)
+            batched["amortization_interleaved"] = round(
+                t_cycle_al * K / t_int, 2)
+            batched["work_gnnz_s"] = round(
+                cycle_nnz * K / min(t_cycle_K, t_int) / 1e9, 4)
     except Exception as e:   # a kernel-compile failure must not kill the
         batched = {"error": f"{type(e).__name__}: {e}"[:200]}  # contract
 

@@ -3,6 +3,7 @@
 from .dia import (DenseOperator, DIAMatrix, dense_from_scipy,
                   dia_from_scipy, dia_from_stencil, dia_spgemm)
 from .block_dia import BlockDIAMatrix, block_dia_from_scipy
+from .interleaved import from_interleaved, to_interleaved
 from .window import (ComplexTransposedWindowed, ComplexWindowed,
                      TransposedWindowed, WindowedELL,
                      complex_windowed_from_scipy, windowed_from_scipy)
