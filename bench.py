@@ -411,10 +411,13 @@ def main(grid=(2048, 2048), verbose=False):
     h2 = dml2.hierarchy
     n2_pad = dml2.hierarchy.levels[0].n_pad
     b2p = jnp.asarray(np.pad(b2, (0, n2_pad - len(b2))), dtype=jnp.float32)
+    # k=64: at ~25-30 ms session RTT a k=16 chain leaves ~1.8 ms of
+    # noise in the net subtraction — larger than the W-cycle itself on
+    # the device-built hierarchy (round 5)
     t_w_raw = _chained_time(
         jax, jnp, lambda o, v: one_cycle2(o, jnp.zeros_like(v), v), h2,
-        b2p, k=16)
-    t_w = net(t_w_raw, 16)
+        b2p, k=64)
+    t_w = net(t_w_raw, 64)
     # 3-D device setup (structured stride-3 pipeline, one XLA program)
     note("config2: 3D device setup path...")
     t0 = time.perf_counter()
@@ -436,8 +439,8 @@ def main(grid=(2048, 2048), verbose=False):
     b2ds = jnp.ones(h2ds.levels[0].n_pad, dtype=jnp.float32)
     t_w_ds_raw = _chained_time(
         jax, jnp, lambda o, v: one_w_ds(o, jnp.zeros_like(v), v), h2ds,
-        b2ds, k=16)
-    t_w_ds = net(t_w_ds_raw, 16)
+        b2ds, k=64)
+    t_w_ds = net(t_w_ds_raw, 64)
 
     detail["config2"] = {
         "problem": "3D 7-pt Poisson 64^3, SA + symmetric GS (multicolor), "
