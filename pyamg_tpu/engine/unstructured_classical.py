@@ -489,7 +489,10 @@ def device_unstructured_rs_setup(A, dtype=jnp.float32, theta=0.25,
     ``interpolation``: 'modified' (default — P = M · P_direct composed
     factors, the distance-two family that restores classical rates
     under PMIS; solve-phase transfers cost two windowed applies) or
-    'direct' (single-factor, cheapest applies).  Returns a
+    'direct' (single-factor, cheapest applies).  Measured at 640k P1
+    FEM on TPU: modified 8 CG iters / 47 s warm setup, direct 11
+    iters / 16 s (host RS 4 iters; the composed-P probe chains pay
+    M and M^T windowed passes the SA pipeline doesn't).  Returns a
     DeviceMultilevelSolver."""
     if interpolation not in ("modified", "direct"):
         raise ValueError(f"unknown interpolation {interpolation!r}")
