@@ -15,7 +15,8 @@ from .hierarchy import DeviceHierarchy, DeviceLevel, compile_hierarchy
 from .krylov import (device_bicgstab, device_cg, device_cgne,
                      device_cgnr, device_cr, device_fgmres, device_gmres,
                      device_minimal_residual, device_steepest_descent)
-from .batched_cycle import (interleaved_zero_vcycle,
+from .batched_cycle import (interleaved_batched_cg,
+                            interleaved_zero_vcycle,
                             supports_interleaved)
 from .solver import DeviceMultilevelSolver, as_device_solver
 from .unstructured_setup import device_unstructured_sa_setup
@@ -48,6 +49,7 @@ __all__ = [
     "EmbeddedRestrictor",
     "BlockStructuredProlongator",
     "BlockStructuredRestrictor",
+    "interleaved_batched_cg",
     "interleaved_zero_vcycle",
     "supports_interleaved",
     "DeviceMultilevelSolver",

@@ -38,13 +38,15 @@ from jax import lax
 
 from ..sparse.dia import DIAMatrix
 from ..sparse.interleaved import (from_interleaved, int_jacobi_step,
-                                  int_jacobi_zero_res, int_spmv_add,
-                                  int_spmv_scaled, to_interleaved)
+                                  int_jacobi_zero_res, int_spmv,
+                                  int_spmv_add, int_spmv_scaled,
+                                  to_interleaved)
 from .device_setup import StructuredProlongator, StructuredRestrictor
 from .hierarchy import DeviceHierarchy
 from .solver import _make_cycle
 
-__all__ = ["interleaved_zero_vcycle", "supports_interleaved"]
+__all__ = ["interleaved_batched_cg", "interleaved_zero_vcycle",
+           "supports_interleaved"]
 
 _LANES = 128
 
@@ -184,3 +186,89 @@ def interleaved_zero_vcycle(h: DeviceHierarchy, Bi):
     Ti = _prolong_front(ec, P, Bi.shape[0])
     X = int_spmv_add(P.S, Ti, X)
     return int_jacobi_step(A, wd1, Bi, X)
+
+
+def interleaved_batched_cg(h: DeviceHierarchy, Bk, tol=1e-5,
+                           maxiter=100):
+    """Preconditioned CG on K right-hand sides SIMULTANEOUSLY, with the
+    interleaved V-cycle as preconditioner and every vector op on
+    interleaved stacks — the end-to-end multi-RHS device solve (f32;
+    the f32 true-residual floor is ~1e-6 relative).
+
+    Per-lane scalars ((K,) dots via ``jnp.sum(·, axis=(0, 2))``) drive
+    per-lane step sizes; converged lanes SELF-FREEZE (their alpha is
+    zeroed) so early lanes cannot corrupt late ones — the same contract
+    as the vmapped batched Krylov lanes.  Returns ``(X (K, n_pad),
+    histories (maxiter+1, K))`` with NaN padding after each lane's
+    convergence.
+
+    ``Bk`` must be in the level-0 PADDED-GRID layout ((K, n_pad) with
+    each lane grid-padded row-major onto fine_grid_p — tail-padding a
+    flat b puts mass in the operator's structural-zero pad rows,
+    outside range(A), and CG stalls; use
+    ``StructuredDeviceSolver.solve`` for the layout-managing high-level
+    batched API)."""
+    if not supports_interleaved(h):
+        raise ValueError("hierarchy does not fit the interleaved fast "
+                         "path; use the vmapped batched solve")
+    A = h.levels[0].A
+    Bi = to_interleaved(Bk)
+    K = Bi.shape[1]
+
+    def dots(Ui, Vi):
+        return jnp.sum(Ui * Vi, axis=(0, 2))
+
+    b_norm = jnp.sqrt(dots(Bi, Bi))
+    thresh = tol * jnp.maximum(b_norm, 1e-30)
+    X0 = jnp.zeros_like(Bi)
+    Z0 = interleaved_zero_vcycle(h, Bi)
+    rz0 = dots(Bi, Z0)
+    hist0 = jnp.full((maxiter + 1, K), jnp.nan, dtype=Bi.dtype)
+    hist0 = hist0.at[0].set(b_norm)
+    iota = jnp.arange(maxiter + 1)
+
+    # history writes are where-over-iota and the residual norms ride
+    # the carry (never a dynamic hist[it] slice in the body); the
+    # convergence check runs every CHUNK=4 masked iterations — frozen-
+    # lane masking makes overshoot iterations no-ops, so the coarser
+    # check costs at most 3 wasted masked steps.  Measured at 2048^2
+    # lane_align K=8 (dependent-sync wall): 0.165 s to 1e-5
+    # (~21 ms/RHS) vs 0.25 s for the vmapped batched solve.
+    CHUNK = 4
+
+    def step(it, carry):
+        X, Ri, Zi, Pi, rz, rn, hist = carry
+        active = rn > thresh
+        Qi = int_spmv(A, Pi)
+        pq = dots(Pi, Qi)
+        alpha = jnp.where(active & (pq != 0),
+                          rz / jnp.where(pq != 0, pq, 1.0), 0.0)
+        a3 = alpha[None, :, None]
+        X = X + a3 * Pi
+        Ri = Ri - a3 * Qi
+        rn_new = jnp.where(active, jnp.sqrt(dots(Ri, Ri)), rn)
+        hist = jnp.where((iota == it + 1)[:, None] & active[None, :],
+                         rn_new[None, :], hist)
+        Zi = interleaved_zero_vcycle(h, Ri)
+        rz_new = dots(Ri, Zi)
+        beta = jnp.where(active & (rz != 0),
+                         rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        Pi = Zi + beta[None, :, None] * Pi
+        return X, Ri, Zi, Pi, rz_new, rn_new, hist
+
+    def cond(carry):
+        it, *_rest = carry
+        rn = carry[6]
+        return (it < maxiter) & jnp.any(rn > thresh)
+
+    def body(carry):
+        it = carry[0]
+        inner = carry[1:]
+        inner = lax.fori_loop(
+            0, CHUNK, lambda j, c: step(it + j, c), inner)
+        return (it + CHUNK,) + inner
+
+    carry = (0, X0, Bi, Z0, Z0, rz0, b_norm, hist0)
+    carry = lax.while_loop(cond, body, carry)
+    X, hist = carry[1], carry[7]
+    return from_interleaved(X), hist

@@ -41,7 +41,8 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 __all__ = ["to_interleaved", "from_interleaved", "int_jacobi_zero_res",
-           "int_spmv_scaled", "int_spmv_add", "int_jacobi_step"]
+           "int_spmv", "int_spmv_scaled", "int_spmv_add",
+           "int_jacobi_step"]
 
 _LANES = 128
 
@@ -188,6 +189,13 @@ def _spmv_kernel(offsets, C, R, nd, mode):
             z_ref[...] = tv_ref[...][:, None, :] * body(rcat, d_ref,
                                                         lane)
         return kernel
+    if mode == "plain":
+        def kernel(t_lo, t_c, t_hi, d_ref, y_ref):
+            lane = lax.broadcasted_iota(jnp.int32, (R, 1, _LANES), 2)
+            tcat = jnp.concatenate([t_lo[...], t_c[...], t_hi[...]],
+                                   axis=0)
+            y_ref[...] = body(tcat, d_ref, lane)
+        return kernel
     if mode == "add":
         def kernel(t_lo, t_c, t_hi, x_ref_in, d_ref, y_ref):
             lane = lax.broadcasted_iota(jnp.int32, (R, 1, _LANES), 2)
@@ -265,6 +273,13 @@ def int_spmv_scaled(A, Ri, tv):
             tv[None, :] * from_interleaved(_apply_ref(A, Ri)))
     return _run(A, "scaled", [(Ri, False)],
                 [(tv.reshape(-1, _LANES), True)])
+
+
+def int_spmv(A, Ti):
+    """y = A t on interleaved stacks."""
+    if not _pallas_ok(A, Ti):
+        return _apply_ref(A, Ti)
+    return _run(A, "plain", [(Ti, False)], [])
 
 
 def int_spmv_add(A, Ti, Xi):
