@@ -365,6 +365,28 @@ def main(grid=(2048, 2048), verbose=False):
                 t_cycle_al * K / t_int, 2)
             batched["work_gnnz_s"] = round(
                 cycle_nnz * K / min(t_cycle_K, t_int) / 1e9, 4)
+            # end-to-end batched solve through the public API (the
+            # solve() router takes the interleaved CG path here); sync
+            # rule: the pull must depend on EVERY program output
+            # (CLAUDE.md round-5 timing note), which solve()'s
+            # history materialization satisfies
+            # stage the RHS stack on device first — a per-call host
+            # upload of ~134 MB through the relay would dominate
+            bK_cols = jnp.asarray(np.random.default_rng(7).random(
+                (A.shape[0], K)), dtype=jnp.float32)
+            float(jnp.sum(jnp.abs(bK_cols)))
+            resK = []
+            dsa_al.solve(bK_cols, tol=1e-5, maxiter=40, accel="cg",
+                         residuals=resK, device_out=True)
+            t0 = time.perf_counter()
+            resK = []
+            xb = dsa_al.solve(bK_cols, tol=1e-5, maxiter=40,
+                              accel="cg", residuals=resK,
+                              device_out=True)
+            jax.block_until_ready(xb)
+            batched["solve_to_1e5_per_rhs_s"] = round(
+                (time.perf_counter() - t0) / K, 4)
+            batched["solve_iters"] = max(len(r) - 1 for r in resK)
     except Exception as e:   # a kernel-compile failure must not kill the
         batched = {"error": f"{type(e).__name__}: {e}"[:200]}  # contract
 

@@ -352,6 +352,38 @@ class DeviceMultilevelSolver:
             b_dev = _stage(b)
             x0_dev = (jnp.zeros(n_pad, dtype=dtype) if x0 is None
                       else _stage(x0))
+        # INTERLEAVED fast path (round 5, engine/batched_cycle.py):
+        # batched f32 V+CG solves on lane-aligned structured
+        # hierarchies run the finest level on (S, K, 128) stacks —
+        # measured 2048^2 K=8: 0.165 s to 1e-5 vs 0.25 s vmapped
+        if (batched and accel == "cg" and precision == "native"
+                and x0 is None and str(cycle).upper() == "V"
+                and jnp.dtype(dtype) == jnp.dtype(jnp.float32)):
+            from .batched_cycle import (interleaved_batched_cg,
+                                        supports_interleaved)
+            if supports_interleaved(h):
+                key = ("int_cg", int(maxiter))
+                fn = self._jit_cache.get(key)
+                if fn is None:
+                    mi = int(maxiter)
+                    fn = jax.jit(lambda hh, bb, tt: interleaved_batched_cg(
+                        hh, bb, tol=tt, maxiter=mi))
+                    self._jit_cache[key] = fn
+                x, history = fn(h, b_dev,
+                                jnp.asarray(tol, dtype=h.dtype))
+                x = x[:, :n].T if device_out else np.asarray(x)[:, :n].T
+                hists = [hl[~np.isnan(hl)]
+                         for hl in np.asarray(history).T]
+                if residuals is not None:
+                    residuals[:] = hists
+                if return_info:
+                    normb = np.linalg.norm(np.asarray(b_dev), axis=1)
+                    conv = [len(hl) >= 1
+                            and hl[-1] < tol * max(float(nb), 1e-300)
+                            for hl, nb in zip(hists, normb)]
+                    return x, (0 if all(conv) else int(maxiter))
+                return x
+
         fn = self._get_compiled(str(cycle).upper(), accel, int(maxiter),
                                 int(restart), precision, int(amli_depth),
                                 batched=batched)

@@ -152,3 +152,32 @@ def test_interleaved_batched_cg(lane_hierarchy):
             / np.linalg.norm(B[k])
         assert r < 5e-6, (k, r)
         assert len(hk) - 1 <= 15, (k, len(hk) - 1)
+
+
+def test_solve_routes_to_interleaved_cg():
+    """StructuredDeviceSolver.solve with an (n, K) RHS + accel='cg' on a
+    lane-aligned f32 hierarchy takes the interleaved fast path
+    automatically, with lane-for-lane convergence parity vs the vmapped
+    fallback."""
+    grid = (24, 512)
+    A = poisson(grid, format="csr")
+    n = A.shape[0]
+    K = 4
+    B = np.random.default_rng(5).standard_normal((n, K))
+
+    dsa = device_sa_setup(A, grid=grid, dtype=jnp.float32,
+                          max_coarse=60, lane_align=True)
+    res = []
+    X = dsa.solve(B, tol=1e-6, maxiter=60, accel="cg", residuals=res)
+    assert ("int_cg", 60) in dsa._jit_cache     # the fast path ran
+    for k in range(K):
+        r = np.linalg.norm(B[:, k] - A @ X[:, k].astype(np.float64)) \
+            / np.linalg.norm(B[:, k])
+        assert r < 5e-6, (k, r)
+
+    dsa2 = device_sa_setup(A, grid=grid, dtype=jnp.float32,
+                           max_coarse=60, lane_align=False)
+    res2 = []
+    dsa2.solve(B, tol=1e-6, maxiter=60, accel="cg", residuals=res2)
+    assert ("int_cg", 60) not in dsa2._jit_cache  # vmapped fallback
+    assert [len(r) for r in res] == [len(r) for r in res2]
