@@ -77,6 +77,10 @@ def _pick_block(n_pad, offsets):
     for B in (32768, 65536, 16384, 8192):
         if n_pad % B == 0 and B // _LANES >= C and B // _LANES % C == 0:
             return B
+    # small arrays (CPU-test grids): a single block still fits VMEM
+    if n_pad <= 65536 and (n_pad // _LANES) % C == 0 \
+            and n_pad // _LANES >= C:
+        return n_pad
     return None
 
 
@@ -215,7 +219,7 @@ def _spmv_kernel(offsets, C, R, nd, mode):
     raise ValueError(mode)
 
 
-def _run(A, mode, haloed, centers, out_count=1):
+def _run(A, mode, haloed, centers, out_count=1, interpret=False):
     """Dispatch one interleaved kernel.  ``haloed`` = the ONE haloed
     (S, K, 128) or (S, 128) operand (3 specs), ``centers`` = further
     center-block operands (list of (array, is_vec))."""
@@ -251,7 +255,7 @@ def _run(A, mode, haloed, centers, out_count=1):
     kern = _spmv_kernel(A.offsets, C, R, nd, mode)
     return pl.pallas_call(
         kern, grid=(nb,), in_specs=specs, out_specs=out_specs,
-        out_shape=out_shape)(*operands)
+        out_shape=out_shape, interpret=interpret)(*operands)
 
 
 def int_jacobi_zero_res(A, wd, Bi):

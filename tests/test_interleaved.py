@@ -181,3 +181,38 @@ def test_solve_routes_to_interleaved_cg():
     dsa2.solve(B, tol=1e-6, maxiter=60, accel="cg", residuals=res2)
     assert ("int_cg", 60) not in dsa2._jit_cache  # vmapped fallback
     assert [len(r) for r in res] == [len(r) for r in res2]
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() == "tpu",
+    reason="interpret-mode check is for CPU CI; TPU runs the real kernel")
+def test_pallas_kernels_interpret_mode(lane_hierarchy):
+    """Run the ACTUAL Pallas kernel code (not the reference fallback)
+    under the Pallas interpreter and compare against the reference
+    interleaved apply — validates _shift_read's clamped-halo logic and
+    the fused epilogues without TPU hardware.
+
+    pltpu.roll has no interpreter implementation on some versions; the
+    test skips gracefully in that case."""
+    import pyamg_tpu.sparse.interleaved as il
+
+    h = lane_hierarchy
+    A = h.levels[0].A
+    n_pad = A.n_pad
+    if il._pick_block(n_pad, A.offsets) is None:
+        pytest.skip("no admissible kernel block for this size")
+    rng = np.random.default_rng(4)
+    Bk = jnp.asarray(rng.standard_normal((8, n_pad)), dtype=jnp.float32)
+    Bi = to_interleaved(Bk)
+    dinv, omega = h.levels[0].pre.arrays
+    wd = (omega * dinv).reshape(-1, 128)
+    try:
+        X, R = il._run(A, "zero_res", [(Bi, False), (wd, True)], [],
+                       out_count=2, interpret=True)
+    except Exception as e:       # pltpu.roll unsupported in interpreter
+        pytest.skip(f"pallas interpreter unavailable: {type(e).__name__}")
+    Xr, Rr = il.int_jacobi_zero_res(A, omega * dinv, Bi)  # reference
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xr),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(Rr),
+                               rtol=1e-4, atol=1e-4)
