@@ -85,6 +85,14 @@ def supports_interleaved(h: DeviceHierarchy):
     if lvl.A.n_pad % _LANES != 0 or R.tv.shape[0] != lvl.A.n_pad:
         return False
     try:
+        # the interleaved kernels are single-device; a row-sharded
+        # hierarchy (shard_hierarchy) must keep the vmapped path, whose
+        # collectives GSPMD understands
+        if len(lvl.A.data.sharding.device_set) > 1:
+            return False
+    except Exception:
+        pass
+    try:
         wd0 = _jacobi_wd(lvl.pre, lvl.A.n_pad)
         wd1 = _jacobi_wd(lvl.post, lvl.A.n_pad)
     except Exception:

@@ -26,8 +26,6 @@ structurally zero — the garbage lanes multiply by stored zeros.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
