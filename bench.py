@@ -568,8 +568,12 @@ def main(grid=(2048, 2048), verbose=False):
                                             accel="cg")))
 
     # === config 5: recirc advection-diffusion 1024^2, NSR + BiCGStab ====
-    note("config5: recirc 1024^2 setup (the big host setup)...")
-    A5 = recirc_flow((1024, 1024), epsilon=1e-2)
+    # CPU fallback shrinks to 512^2: the 1024^2 x64 mixed phase-B solve
+    # exceeded 50 GB RSS on the CPU backend (OOM-killed a round-5
+    # probe) and the driver must always get its JSON line
+    g5_bench = (1024, 1024) if backend == "tpu" else (512, 512)
+    note(f"config5: recirc {g5_bench[0]}^2 setup (the big host setup)...")
+    A5 = recirc_flow(g5_bench, epsilon=1e-2)
     t0 = time.perf_counter()
     ml5 = pyamg_tpu.smoothed_aggregation_solver(
         A5, symmetry="nonsymmetric",
@@ -596,7 +600,8 @@ def main(grid=(2048, 2048), verbose=False):
     t5_setup = time.perf_counter() - t0
     b5 = np.random.default_rng(4).random(A5.shape[0])
     detail["config5"] = {
-        "problem": "nonsym recirculating advection-diffusion 1024^2, "
+        "problem": f"nonsym recirculating advection-diffusion "
+                   f"{g5_bench[0]}^2, "
                    "energy-min NSR SA + BiCGStab (single chip; "
                    "row-partitioned path validated on the virtual "
                    "8-device mesh: tests/test_parallel.py, "
